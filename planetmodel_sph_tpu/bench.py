@@ -1,0 +1,45 @@
+"""Benchmark helper shared by `cli bench` and the repo-root bench.py.
+
+Baseline: the reference targets real-time at 50 steps/s with 3k particles on
+a gaming laptop (``ProjectSettings/TimeManager.asset:6`` fixed dt=0.02 +
+``README.md:2``), i.e. 150k particle-steps/s, with 6.5 ms spent in neighbor/
+kernel calculation alone (``README.md:38``). `vs_baseline` is the ratio of
+our particle-steps/s to that 150k particle-steps/s reference rate.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from . import config as config_mod
+from .models import ics, planet
+
+REFERENCE_PARTICLE_STEPS_PER_SEC = 3000 * 50.0
+
+
+def run_bench(n: int = 3000, steps: int = 200, preset: str = "jupiter_3k",
+              warmup_steps: int = 10) -> dict:
+    preset_fn = getattr(config_mod, preset)
+    cfg = preset_fn(n=n) if n else preset_fn()
+
+    state = planet.prime(ics.jupiter(cfg), cfg)
+    state = jax.block_until_ready(planet.run(state, cfg, warmup_steps))
+
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(planet.run(state, cfg, steps))
+    dt_wall = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt_wall
+    psps = cfg.n * steps_per_sec
+    return {
+        "metric": f"particle_steps_per_sec_n{cfg.n}",
+        "value": round(psps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(psps / REFERENCE_PARTICLE_STEPS_PER_SEC, 3),
+        "steps_per_sec": round(steps_per_sec, 2),
+        "n": cfg.n,
+        "wall_s": round(dt_wall, 3),
+        "device": str(jax.devices()[0]),
+    }

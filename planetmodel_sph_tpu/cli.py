@@ -1,0 +1,141 @@
+"""Command-line harness: `run` and `bench`.
+
+The reference's only entry point is pressing Play on SimScene.unity in the
+Unity editor (SURVEY.md §1); a standalone build was on its roadmap but
+unfinished. This CLI is that missing harness: deterministic runs, metrics
+logging every N steps (the analog of ``KernelSystem.cs:59-74``'s every-100-
+updates stats dump), checkpoint/resume, and PNG rendering.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+from . import config as config_mod
+from .models import ics, planet
+from .utils import checkpoint, diagnostics, render
+
+
+_PRESETS = {
+    "default": config_mod.default,
+    "parity": config_mod.parity,
+    "jupiter_3k": config_mod.jupiter_3k,
+    "jupiter_100k": config_mod.jupiter_100k,
+}
+
+_ICS = {
+    "jupiter": ics.jupiter,
+    "two_planet_collision": ics.two_planet_collision,
+    "rotating_planet": ics.rotating_planet,
+}
+
+
+def _build_cfg(args) -> config_mod.SimConfig:
+    kw = {}
+    for name in ("n", "seed", "dt"):
+        v = getattr(args, name, None)
+        if v is not None:
+            kw[name] = v
+    if getattr(args, "integrator", None):
+        kw["integrator"] = args.integrator
+    if getattr(args, "gravity", None):
+        kw["gravity_solver"] = args.gravity
+    if getattr(args, "neighbor", None):
+        kw["neighbor_mode"] = args.neighbor
+    return _PRESETS[args.preset](**kw)
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cmd_run(args) -> int:
+    if args.restore:
+        state, cfg, start_step = checkpoint.load(args.restore)
+        _log(f"restored {args.restore} at step {start_step} (n={cfg.n})")
+    else:
+        cfg = _build_cfg(args)
+        state = _ICS[args.ic](cfg)
+        state = planet.prime(state, cfg)
+        start_step = 0
+
+    every = max(1, args.diag_every)
+    n_chunks = max(1, args.steps // every)
+    t0 = time.perf_counter()
+    state, diags = planet.run_with_diagnostics(state, cfg, n_chunks, every)
+    jax.block_until_ready(state)
+    dt_wall = time.perf_counter() - t0
+    total = n_chunks * every
+    _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
+         f"({cfg.n*total/dt_wall:.3g} particle-steps/s)")
+
+    for i in range(n_chunks):
+        step_no = start_step + (i + 1) * every
+        row = {k: float(v[i]) for k, v in sorted(diags.items())}
+        keys = ("total_energy", "kinetic_energy", "rho_avg", "rho_max",
+                "neighbors_avg", "radius_rms", "momentum_mag")
+        brief = " ".join(f"{k}={row[k]:.5g}" for k in keys if k in row)
+        _log(f"step {step_no}: {brief}")
+        if args.metrics_jsonl:
+            with open(args.metrics_jsonl, "a") as f:
+                f.write(json.dumps({"step": step_no, **row}) + "\n")
+
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, state, cfg, start_step + total)
+        _log(f"checkpoint -> {args.checkpoint}")
+    if args.render:
+        out = render.render_png(state, args.render)
+        _log(f"render -> {out}")
+    drift = diagnostics.energy_drift(diags)
+    _log(f"energy drift: {float(drift[-1]):.3e}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from . import bench as bench_mod
+    result = bench_mod.run_bench(n=args.n, steps=args.steps,
+                                 preset=args.preset)
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="planetmodel_sph_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run a simulation")
+    pr.add_argument("--preset", choices=sorted(_PRESETS), default="jupiter_3k")
+    pr.add_argument("--ic", choices=sorted(_ICS), default="jupiter")
+    pr.add_argument("--n", type=int, default=None)
+    pr.add_argument("--seed", type=int, default=None)
+    pr.add_argument("--dt", type=float, default=None)
+    pr.add_argument("--steps", type=int, default=500)
+    pr.add_argument("--diag-every", type=int, default=100)
+    pr.add_argument("--integrator",
+                    choices=("staggered_euler", "leapfrog_kdk"), default=None)
+    pr.add_argument("--gravity", choices=("direct", "tree", "none"),
+                    default=None)
+    pr.add_argument("--neighbor", choices=("dense", "grid"), default=None)
+    pr.add_argument("--checkpoint", default=None, help="save state to .npz")
+    pr.add_argument("--restore", default=None, help="resume from .npz")
+    pr.add_argument("--render", default=None, help="write final-state PNG")
+    pr.add_argument("--metrics-jsonl", default=None)
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="benchmark steps/sec")
+    pb.add_argument("--n", type=int, default=3000)
+    pb.add_argument("--steps", type=int, default=100)
+    pb.add_argument("--preset", choices=sorted(_PRESETS), default="jupiter_3k")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,170 @@
+"""Typed configuration for the TPU-native SPH engine.
+
+One dataclass covers every constant that is scattered across the reference
+project (see SURVEY.md §5 "Config / flag system"):
+
+- editor-serialized authoring fields (count/particleRadius/radius/totalMass,
+  reference ``Assets/Scripts/Systems/ParticleAuthoring.cs:26-37``)
+- compile-time consts: gravity impl switch (``GravityFieldSystem.cs:19-25``),
+  theta=0.7 (``GravityFieldSystem.cs:228``), G=1 (``GravityFieldSystem.cs:26``),
+  TARGET_NEIGHBORS=50 (``ParticleSmoothingSystem.cs:18``), EOS K=1000
+  (``PressureFieldSystem.cs:31``), kappa=2 (``SplineKernel.cs:44``),
+  neighbor capacity 50 (``Components/Kernel.cs:5``)
+- the fixed timestep dt=0.02 (``ProjectSettings/TimeManager.asset:6``)
+
+Two presets are provided:
+
+- :func:`parity` — bit-faithful behavioral parity with the reference,
+  including its physics quirks (asymmetric pressure gradient, receiver-only
+  gravity softening, the kernel-derivative sign bug, staggered Euler).
+- :func:`default` — physically-corrected settings (symmetric momentum-
+  conserving pressure force, symmetrized softening, corrected kernel
+  derivative, leapfrog KDK), the recommended production configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (trace-time) simulation configuration.
+
+    All fields are Python scalars/strings so the config hashes cleanly as a
+    ``jax.jit`` static argument.
+    """
+
+    # ---- scenario / initial conditions (ParticleAuthoring.cs:26-37) ----
+    n: int = 3000                  # particle count          ("count")
+    radius: float = 50.0           # IC sphere radius        ("radius")
+    total_mass: float = 100.0      # total mass              ("totalMass")
+    particle_radius: float = 5.0   # base support kh         ("particleRadius")
+    seed: int = 0                  # deterministic RNG (reference uses a
+                                   # nondeterministic System.Random seed,
+                                   # RandomSystem.cs:37-40 — we improve on it)
+
+    # ---- kernel ----
+    kappa: float = 2.0             # support/h ratio (SplineKernel.cs:44)
+    # Reproduce the reference's sign error in the r<h branch of the kernel
+    # derivative (SplineKernel.cs:135 uses +3q where the Monaghan-Lattanzio
+    # derivative is -3q; the h<=r<2h branch at :142 is correctly negative).
+    kernel_deriv_sign_bug: bool = False
+
+    # ---- EOS (PressureFieldSystem.cs:30-34) ----
+    eos_k: float = 1000.0          # P = K rho^2
+    eos_gamma: float = 2.0         # polytropic exponent (reference hardcodes 2)
+
+    # ---- pressure force ----
+    # 'reference_asymmetric': grad P_i = sum_j (m_j/rho_j) P_j gradW_sym
+    #   (PressureFieldSystem.cs:44-70 — no self term, not momentum conserving)
+    # 'symmetric': momentum-conserving  a_i = -sum_j m_j (P_i/rho_i^2 +
+    #   P_j/rho_j^2) gradW_sym  (standard SPH; exposed to VelocitySystem as an
+    #   effective gradP_i = rho_i * sum_j ...)
+    grad_p_mode: Literal["reference_asymmetric", "symmetric"] = "symmetric"
+
+    # ---- gravity ----
+    g_const: float = 1.0           # G (GravityFieldSystem.cs:26)
+    theta: float = 0.7             # Salmon-Warren bmax MAC (GravityFieldSystem.cs:228)
+    # 'direct'  : all-pairs P2P (GravityImpl.GRAVITY_PARTICLE_CPU analog)
+    # 'tree'    : Barnes-Hut monopole over Morton octree (GRAVITY_TREE_CPU analog)
+    # 'none'    : disable self-gravity
+    gravity_solver: Literal["direct", "tree", "none"] = "direct"
+    # Softening length for the Dyer-Ip P2P term:
+    # 'receiver_h'    : a = h_i of the field (receiving) particle — reference
+    #                   behavior (GravityFieldSystem.cs:144,282)
+    # 'symmetric_max' : a = max(h_i, h_j) — conserves momentum
+    softening_mode: Literal["receiver_h", "symmetric_max"] = "symmetric_max"
+
+    # ---- adaptive smoothing length (ParticleSmoothingSystem.cs) ----
+    adaptive_h: bool = True
+    target_neighbors: float = 50.0  # TARGET_NEIGHBORS (:18)
+
+    # ---- neighbor search ----
+    # 'dense' : masked all-pairs (exact; O(N^2) memory-light tiles)
+    # 'grid'  : Morton-sorted uniform cell grid + fixed-K neighbor lists
+    neighbor_mode: Literal["dense", "grid"] = "dense"
+    max_neighbors: int = 96        # K_max for 'grid' (reference inline cap 50,
+                                   # Kernel.cs:5; we size above target 50)
+
+    # ---- integration ----
+    dt: float = 0.02               # fixed step (TimeManager.asset:6)
+    # 'staggered_euler': reference ordering — forces at x_n, then
+    #   x_{n+1} = x_n + v_n dt, then v_{n+1} = v_n + a(x_n) dt
+    #   (Integrator.cs:98-101 + VelocitySystem.cs:28-34, see SURVEY §3.2)
+    # 'leapfrog_kdk'   : kick-drift-kick, second order, one force eval/step
+    integrator: Literal["staggered_euler", "leapfrog_kdk"] = "leapfrog_kdk"
+
+    # ---- tree gravity (Barnes-Hut) static sizing ----
+    tree_levels: int = 7           # octree depth over Morton codes (root=0)
+    tree_frontier: int = 512       # padded per-group interaction-list capacity
+    tree_group_size: int = 128     # target-leaf group size (Morton-contiguous)
+
+    # ---- numerics ----
+    dtype: str = "float32"
+
+    # ---- execution ----
+    use_pallas: bool = True        # fused Pallas pairwise kernels on TPU
+    block_n: int = 512             # i/j tile for the blocked pairwise kernel
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def particle_mass(self) -> float:
+        return self.total_mass / self.n
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default(**kw) -> SimConfig:
+    """Recommended physically-corrected configuration."""
+    return SimConfig(**kw)
+
+
+def parity(**kw) -> SimConfig:
+    """Behavioral parity with the reference (including its quirks).
+
+    Matches: asymmetric pressure gradient (PressureFieldSystem.cs:44-70),
+    receiver-h-only gravity softening (GravityFieldSystem.cs:144), the kernel
+    derivative sign bug (SplineKernel.cs:135), staggered Euler ordering
+    (SURVEY §3.2), and the 3k-particle Jupiter scene parameters
+    (SimScene.unity:276-279).
+    """
+    base = dict(
+        grad_p_mode="reference_asymmetric",
+        softening_mode="receiver_h",
+        kernel_deriv_sign_bug=True,
+        integrator="staggered_euler",
+        gravity_solver="tree",
+        adaptive_h=True,
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def jupiter_3k(**kw) -> SimConfig:
+    """BASELINE.json config "Jupiter v1": 3k particles, corrected physics."""
+    base = dict(n=3000, gravity_solver="direct", neighbor_mode="dense")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def jupiter_100k(**kw) -> SimConfig:
+    """North-star perf config: 100k particles, grid neighbors + tree gravity."""
+    base = dict(
+        n=100_000,
+        gravity_solver="tree",
+        neighbor_mode="grid",
+        # same mean interparticle spacing as the 3k scene is NOT preserved;
+        # scale the IC sphere so the neighbor count target stays reachable.
+        radius=50.0,
+        particle_radius=5.0 * (3000 / 100_000) ** (1.0 / 3.0),
+    )
+    base.update(kw)
+    return SimConfig(**base)

@@ -1,0 +1,116 @@
+"""Initial-condition generators.
+
+The reference's only IC is ``ParticleAuthoring.SpawnParticleJob``
+(``Assets/Scripts/Systems/ParticleAuthoring.cs:126-246``): N particles
+rejection-sampled uniformly inside a sphere (:229-245), at rest (:163), with
+per-particle support radius kh = particleRadius * (1 + U[0, 0.5)) (:164),
+equal masses totalMass/count (:212), and an initial uniform density estimate
+totalMass / (4/3 pi R^3) (:209-217). Its RNG is seeded nondeterministically
+(``RandomSystem.cs:37-40``); we use deterministic jax PRNG keys instead.
+
+Additional ICs cover the BASELINE.json scenario list: two-planet collision
+(bulk velocities) and an over-rotating planet (solid-body angular velocity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops import eos as eos_ops
+
+
+def uniform_sphere(key, n, radius, dtype=jnp.float32, method="rejection"):
+    """n points uniform in a ball of given radius.
+
+    method='rejection' mirrors the reference's sampler (uniform in the
+    bounding cube, resample until inside — ``ParticleAuthoring.cs:229-245``)
+    in a shape-static way: oversample the cube, then take the first n
+    accepted points (acceptance pi/6 ~ 0.52, so 4x oversampling fails with
+    probability < 1e-40 at any realistic n).
+    method='direct' uses the exact inverse-CDF construction (r ~ R u^{1/3},
+    isotropic direction) — statistically identical, no rejection.
+    """
+    if method == "direct":
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (n,), dtype)
+        r = radius * jnp.cbrt(u)
+        d = jax.random.normal(k2, (n, 3), dtype)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return r[:, None] * d
+
+    m = 4 * n + 64
+    pts = jax.random.uniform(key, (m, 3), dtype, -radius, radius)
+    inside = jnp.sum(pts * pts, axis=-1) < radius * radius
+    # Stable order: indices of accepted points in draw order, padded with the
+    # first accepted point (never reached in practice).
+    order = jnp.argsort(~inside, stable=True)
+    return pts[order[:n]]
+
+
+def jupiter(cfg: SimConfig) -> ParticleState:
+    """The reference scene: cold uniform ball of gas, at rest.
+
+    (SimScene.unity:276-279 — count=3000, particleRadius=5, radius=50,
+    totalMass=100.)
+    """
+    dt = cfg.jnp_dtype
+    key = jax.random.PRNGKey(cfg.seed)
+    k_pos, k_h = jax.random.split(key)
+
+    pos = uniform_sphere(k_pos, cfg.n, cfg.radius, dt)
+    # Support radius kh = particleRadius * (1 + U[0, 0.5)); h = kh / kappa
+    # (ParticleAuthoring.cs:164 + ParticleSmoothing ctor semantics).
+    kh = cfg.particle_radius * (1.0 + jax.random.uniform(k_h, (cfg.n,), dt, 0.0, 0.5))
+    h = kh / cfg.kappa
+
+    mass = jnp.full((cfg.n,), cfg.particle_mass, dt)
+    rho0 = cfg.total_mass / (4.0 / 3.0 * jnp.pi * cfg.radius**3)
+    rho = jnp.full((cfg.n,), rho0, dt)
+
+    zeros3 = jnp.zeros((cfg.n, 3), dt)
+    zeros1 = jnp.zeros((cfg.n,), dt)
+    izeros = jnp.zeros((cfg.n,), jnp.int32)
+    return ParticleState(
+        pos=pos, vel=zeros3, mass=mass, h=h, rho=rho,
+        pressure=eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma),
+        grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
+        n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
+        accel=zeros3,
+    )
+
+
+def two_planet_collision(
+    cfg: SimConfig,
+    separation: float = 150.0,
+    approach_speed: float = 0.5,
+    impact_parameter: float = 0.0,
+) -> ParticleState:
+    """Two Jupiter-like planets on a collision course (BASELINE config 4).
+
+    Each planet gets n/2 particles, half the total mass, and a bulk velocity
+    of +-approach_speed/2 along x; impact_parameter offsets them along y.
+    """
+    half = cfg.replace(n=cfg.n // 2, total_mass=cfg.total_mass / 2)
+    a = jupiter(half.replace(seed=cfg.seed))
+    b = jupiter(half.replace(seed=cfg.seed + 1))
+
+    dx = jnp.asarray([separation / 2, impact_parameter / 2, 0.0], a.pos.dtype)
+    dv = jnp.asarray([approach_speed / 2, 0.0, 0.0], a.pos.dtype)
+
+    def cat(x, y):
+        return jnp.concatenate([x, y], axis=0)
+
+    return jax.tree.map(cat, a, b).replace(
+        pos=cat(a.pos - dx, b.pos + dx),
+        vel=cat(a.vel + dv, b.vel - dv),
+    )
+
+
+def rotating_planet(cfg: SimConfig, omega: float = 0.05) -> ParticleState:
+    """Over-rotating planet: solid-body rotation about z (BASELINE config 5)."""
+    st = jupiter(cfg)
+    w = jnp.asarray([0.0, 0.0, omega], st.pos.dtype)
+    return st.replace(vel=jnp.cross(jnp.broadcast_to(w, st.pos.shape), st.pos))

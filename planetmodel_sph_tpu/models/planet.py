@@ -1,0 +1,158 @@
+"""The flagship model: a self-gravitating gas planet stepped under lax.scan.
+
+One :func:`step` here is the TPU-native equivalent of the reference's entire
+``FixedStepSimulationSystemGroup`` pass (SURVEY.md §3.2): smoothing update →
+neighbor kernels → gravity → position integration → density → EOS → pressure
+gradient → velocity update. The ECS job DAG collapses into a single jitted
+function; XLA's dataflow replaces every ``JobHandle``/``IPhysicsSystem``
+handshake (``IPhysicsSystem.cs:6-11``).
+
+Two integrators:
+
+- ``staggered_euler`` — behavioral parity with the reference: forces are
+  evaluated at x_n, then x_{n+1} = x_n + v_n dt (``Integrator.cs:98-101``),
+  then v_{n+1} = v_n + a(x_n) dt (``VelocitySystem.cs:28-34``).
+- ``leapfrog_kdk`` — second-order kick-drift-kick with one force evaluation
+  per step (the BASELINE.json north-star default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops import dense, eos as eos_ops
+
+
+class Forces(NamedTuple):
+    rho: jax.Array
+    pressure: jax.Array
+    grad_p: jax.Array
+    phi: jax.Array
+    grad_phi: jax.Array
+    n_neighbors: jax.Array
+    n_direct: jax.Array
+    n_approx: jax.Array
+    accel: jax.Array
+
+
+def update_h(h, n_neighbors, cfg: SimConfig):
+    """Adaptive smoothing-length relaxation (``ParticleSmoothingSystem.cs:46-59``).
+
+    h <- h * 0.5 * (1 + (target/N)^(1/3)); unchanged when N = 0.
+    Uses the neighbor count recorded during the *previous* step's kernel
+    evaluation, exactly as the reference reads last frame's buffers.
+    """
+    if not cfg.adaptive_h:
+        return h
+    nn = n_neighbors.astype(h.dtype)
+    ratio = jnp.cbrt(cfg.target_neighbors / jnp.where(nn > 0, nn, 1.0))
+    h_next = h * 0.5 * (1.0 + ratio)
+    return jnp.where(n_neighbors > 0, h_next, h)
+
+
+def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
+    """Full field evaluation at the given positions/smoothing lengths."""
+    if cfg.neighbor_mode == "grid":
+        from ..ops import neighbors as nbr_ops
+        p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg)
+    else:
+        p1 = dense.pass1(pos, h, mass, cfg)
+        grad_p_fn = partial(dense.pass2, pos, h, mass)
+
+    rho, nn, phi, grad_phi, n_direct = p1
+    n_approx = jnp.zeros_like(n_direct)
+
+    if cfg.gravity_solver == "tree":
+        from ..ops import tree as tree_ops
+        phi, grad_phi, n_direct, n_approx = tree_ops.gravity(pos, h, mass, cfg)
+
+    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+    grad_p = grad_p_fn(rho, prs, cfg)
+
+    # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
+    accel = -grad_p / rho[:, None] - grad_phi
+    return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx, accel)
+
+
+def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
+    return state.replace(
+        rho=f.rho, pressure=f.pressure, grad_p=f.grad_p, phi=f.phi,
+        grad_phi=f.grad_phi, n_neighbors=f.n_neighbors,
+        n_direct=f.n_direct, n_approx=f.n_approx, accel=f.accel,
+    )
+
+
+def _default_forces(cfg: SimConfig):
+    return lambda pos, h, mass: compute_forces(pos, h, mass, cfg)
+
+
+def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
+    """Evaluate forces once at the initial state (fills accel for KDK)."""
+    forces_fn = forces_fn or _default_forces(cfg)
+    return _apply_forces(state, forces_fn(state.pos, state.h, state.mass))
+
+
+def step_staggered(state: ParticleState, cfg: SimConfig,
+                   forces_fn=None) -> ParticleState:
+    """Reference-ordered step (SURVEY.md §3.2)."""
+    forces_fn = forces_fn or _default_forces(cfg)
+    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+    h = update_h(state.h, state.n_neighbors, cfg)
+    f = forces_fn(state.pos, h, state.mass)
+    pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
+    vel = state.vel + f.accel * dt            # VelocitySystem.cs:34
+    return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+
+
+def step_kdk(state: ParticleState, cfg: SimConfig,
+             forces_fn=None) -> ParticleState:
+    """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step."""
+    forces_fn = forces_fn or _default_forces(cfg)
+    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+    v_half = state.vel + 0.5 * dt * state.accel
+    pos = state.pos + dt * v_half
+    h = update_h(state.h, state.n_neighbors, cfg)
+    f = forces_fn(pos, h, state.mass)
+    vel = v_half + 0.5 * dt * f.accel
+    return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+
+
+def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
+    if cfg.integrator == "staggered_euler":
+        return step_staggered(state, cfg, forces_fn)
+    return step_kdk(state, cfg, forces_fn)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
+    """Advance n_steps under one lax.scan (one compiled program)."""
+    def body(s, _):
+        return step(s, cfg), None
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_chunks", "chunk"))
+def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
+                         n_chunks: int, chunk: int):
+    """Advance n_chunks*chunk steps, measuring diagnostics every `chunk` steps.
+
+    This is the in-graph analog of the reference's every-100-updates stats
+    dump (``KernelSystem.cs:59-74``) plus the roadmap's conserved-quantity
+    display (``README.md:51-54``).
+    """
+    from ..utils import diagnostics
+
+    def outer(s, _):
+        def inner(s2, _):
+            return step(s2, cfg), None
+        s, _ = jax.lax.scan(inner, s, None, length=chunk)
+        return s, diagnostics.measure(s, cfg)
+
+    return jax.lax.scan(outer, state, None, length=n_chunks)

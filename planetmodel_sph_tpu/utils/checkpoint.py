@@ -1,0 +1,44 @@
+"""Checkpoint save/restore (new capability — the reference has none).
+
+The reference keeps state only in live ECS memory (SURVEY.md §5); its roadmap
+wanted runtime ICs/state but never built them. We serialize the full
+ParticleState plus the SimConfig and step counter to a single .npz so a run
+can resume bit-exactly (f32 state round-trips losslessly through npz).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import numpy as np
+
+from ..config import SimConfig
+from ..state import ParticleState
+
+
+def save(path: str, state: ParticleState, cfg: SimConfig, step: int = 0) -> None:
+    arrays = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+    }
+    np.savez(
+        path,
+        __config__=np.frombuffer(
+            json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
+        __step__=np.asarray(step, np.int64),
+        **arrays,
+    )
+
+
+def load(path: str):
+    """Returns (state, cfg, step)."""
+    with np.load(path) as z:
+        cfg = SimConfig(**json.loads(bytes(z["__config__"]).decode()))
+        step = int(z["__step__"])
+        fields = {
+            f.name: jax.numpy.asarray(z[f.name])
+            for f in dataclasses.fields(ParticleState)
+        }
+    return ParticleState(**fields), cfg, step
