@@ -85,10 +85,13 @@ class SimConfig:
 
     # ---- neighbor search ----
     # 'dense' : masked all-pairs (exact; O(N^2) memory-light tiles)
-    # 'grid'  : Morton-sorted uniform cell grid + fixed-K neighbor lists
+    # 'grid'  : Morton-group adjacency (sorted 32-particle blocks, group-AABB
+    #           candidate windows, dense tile evaluation) — the broadphase
+    #           replacement for 10k+ particles
     neighbor_mode: Literal["dense", "grid"] = "dense"
-    max_neighbors: int = 96        # K_max for 'grid' (reference inline cap 50,
-                                   # Kernel.cs:5; we size above target 50)
+    nbr_group_size: int = 32       # particles per Morton block
+    nbr_window: int = 32           # adjacent source blocks per target block
+                                   # (overflow counted, never wrapped)
 
     # ---- integration ----
     dt: float = 0.02               # fixed step (TimeManager.asset:6)
@@ -99,9 +102,19 @@ class SimConfig:
     integrator: Literal["staggered_euler", "leapfrog_kdk"] = "leapfrog_kdk"
 
     # ---- tree gravity (Barnes-Hut) static sizing ----
-    tree_levels: int = 7           # octree depth over Morton codes (root=0)
-    tree_frontier: int = 512       # padded per-group interaction-list capacity
-    tree_group_size: int = 128     # target-leaf group size (Morton-contiguous)
+    # All list capacities are static shapes; overflow is dropped AND counted
+    # (TreeOut.*_overflow diagnostics) — never silently wrapped.
+    tree_levels: int = 6           # octree depth over Morton codes (root=0)
+    tree_frontier: int = 2048      # per-group open-node frontier capacity
+    tree_group_size: int = 128     # target group size (Morton-contiguous)
+    tree_m2p_cap: int = 2048       # accepted multipole list capacity / group
+    tree_p2p_cell_cap: int = 1024  # rejected leaf-cell list capacity / group
+    tree_p2p_cap: int = 8192       # P2P source-particle capacity / group
+    tree_leaf_count: int = 32      # treat cells this small as leaves (the
+                                   # generalization of the BVH's 4-body
+                                   # leaves; larger values trade dense P2P
+                                   # flops for traversal depth — the right
+                                   # trade on TPU)
 
     # ---- numerics ----
     dtype: str = "float32"

@@ -27,7 +27,39 @@ by construction since h > 0 everywhere).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def dyer_ip_fast(dx, r2, m, inv_a, g_const: float = 1.0):
+    """Softened P2P term in reciprocal form (the hot-path variant).
+
+    Same math as :func:`dyer_ip` but written for VPU throughput: one
+    ``rsqrt`` instead of sqrt+divisions, and the softening enters as a
+    precomputed reciprocal ``inv_a = 1/a`` (per-particle 1/h values are
+    computed once per step, so per-pair softening symmetrization becomes
+    ``min(inv_h_i, inv_h_j)``).
+
+    Args:
+      dx: (..., 3) displacement x_field - x_source.
+      r2: (...,) |dx|^2.
+      m:  (...,) source mass (0 masks the pair).
+      inv_a: (...,) reciprocal softening length.
+    """
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+    x = r2 * inv_r * inv_a                         # == r/a; 0 at r=0
+    x2 = x * x
+    x3 = x2 * x
+    inv_a3 = inv_a * inv_a * inv_a
+    inner_mag_over_r = (m * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+    inner_phi = -(m * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3 - 0.4 * x2 * x3)
+    outer_mag_over_r = m * inv_r * inv_r * inv_r
+    outer_phi = -m * inv_r
+    near = x < 1.0                                 # r=0 falls here (softened)
+    mag_over_r = jnp.where(near, inner_mag_over_r, outer_mag_over_r)
+    phi = jnp.where(near, inner_phi, outer_phi)
+    grad_phi = dx * (g_const * mag_over_r)[..., None]
+    return grad_phi, g_const * phi
 
 
 def dyer_ip(dx, r, m, a, g_const: float = 1.0):
