@@ -19,16 +19,26 @@ from .models import ics, planet
 REFERENCE_PARTICLE_STEPS_PER_SEC = 3000 * 50.0
 
 
+def _force(state):
+    """Force device completion via scalar readback (block_until_ready can
+    return early on relay-backed remote devices)."""
+    import jax.numpy as jnp
+    float(jnp.sum(state.pos))
+    return state
+
+
 def run_bench(n: int = 3000, steps: int = 200, preset: str = "jupiter_3k",
               warmup_steps: int = 10) -> dict:
     preset_fn = getattr(config_mod, preset)
     cfg = preset_fn(n=n) if n else preset_fn()
 
     state = planet.prime(ics.jupiter(cfg), cfg)
-    state = jax.block_until_ready(planet.run(state, cfg, warmup_steps))
+    # warm up with the SAME static step count so compilation (and the scan
+    # program) is fully cached before the timed region
+    state = _force(planet.run(state, cfg, steps))
 
     t0 = time.perf_counter()
-    state = jax.block_until_ready(planet.run(state, cfg, steps))
+    state = _force(planet.run(state, cfg, steps))
     dt_wall = time.perf_counter() - t0
 
     steps_per_sec = steps / dt_wall

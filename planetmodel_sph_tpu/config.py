@@ -92,6 +92,8 @@ class SimConfig:
     nbr_group_size: int = 32       # particles per Morton block
     nbr_window: int = 32           # adjacent source blocks per target block
                                    # (overflow counted, never wrapped)
+    nbr_group_level: int = 4       # blocks never cross cells of this octree
+                                   # level (kills Morton-seam blocks)
 
     # ---- integration ----
     dt: float = 0.02               # fixed step (TimeManager.asset:6)
@@ -105,6 +107,9 @@ class SimConfig:
     # All list capacities are static shapes; overflow is dropped AND counted
     # (TreeOut.*_overflow diagnostics) — never silently wrapped.
     tree_levels: int = 6           # octree depth over Morton codes (root=0)
+    tree_group_level: int = 3      # target groups never cross cells of this
+                                   # level (kills Morton-seam groups whose
+                                   # AABB would span octant boundaries)
     tree_frontier: int = 2048      # per-group open-node frontier capacity
     tree_group_size: int = 128     # target group size (Morton-contiguous)
     tree_m2p_cap: int = 2048       # accepted multipole list capacity / group
@@ -115,6 +120,19 @@ class SimConfig:
                                    # leaves; larger values trade dense P2P
                                    # flops for traversal depth — the right
                                    # trade on TPU)
+
+    # ---- interaction-list caching (Verlet-skin amortization) ----
+    # Rebuild the neighbor adjacency and the gravity tree lists every
+    # `rebuild_every` steps instead of every step, with structures built
+    # using a skin margin of skin_safety * rebuild_every * dt * v_max so
+    # they stay conservative between rebuilds. The reference rebuilds its
+    # broadphase every step but already uses the same trick within a step
+    # (AABBs expanded by v*dt, Broadphase.cs:743-761). With rebuild_every=1
+    # behavior is identical to rebuilding per step (skin=0). Adaptive-h
+    # updates are applied only at rebuild steps when caching is on, so
+    # support radii cannot outgrow the cached cutoffs.
+    rebuild_every: int = 1
+    skin_safety: float = 2.0
 
     # ---- numerics ----
     dtype: str = "float32"

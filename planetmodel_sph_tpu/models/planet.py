@@ -62,8 +62,13 @@ def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
         from ..ops import neighbors as nbr_ops
         p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg)
     else:
-        p1 = dense.pass1(pos, h, mass, cfg)
-        grad_p_fn = partial(dense.pass2, pos, h, mass)
+        from ..ops.pallas import pairwise
+        if cfg.use_pallas and pairwise._on_tpu():
+            p1 = pairwise.pass1(pos, h, mass, cfg)
+            grad_p_fn = partial(pairwise.pass2, pos, h, mass)
+        else:
+            p1 = dense.pass1(pos, h, mass, cfg)
+            grad_p_fn = partial(dense.pass2, pos, h, mass)
 
     rho, nn, phi, grad_phi, n_direct = p1
     n_approx = jnp.zeros_like(n_direct)
@@ -129,9 +134,124 @@ def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
     return step_kdk(state, cfg, forces_fn)
 
 
+# ---------------------------------------------------------------------------
+# Verlet-skin cached stepping (cfg.rebuild_every): the neighbor adjacency and
+# the gravity tree's interaction lists are rebuilt every K steps with a skin
+# margin and re-evaluated against current positions in between.
+# ---------------------------------------------------------------------------
+
+class Carry(NamedTuple):
+    state: ParticleState
+    tick: jax.Array   # int32 step counter
+    nbr: object       # GroupLists when neighbor_mode='grid', else int32 0
+    tree: object      # TreeCache when gravity_solver='tree', else int32 0
+
+
+def _skin(cfg: SimConfig, vel):
+    if cfg.rebuild_every <= 1:
+        return jnp.asarray(0.0, vel.dtype)
+    vmax = jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=-1)))
+    return (cfg.skin_safety * cfg.rebuild_every * cfg.dt) * vmax
+
+
+def _build_caches(pos, h, mass, vel, cfg: SimConfig):
+    skin = _skin(cfg, vel)
+    if cfg.neighbor_mode == "grid":
+        from ..ops import neighbors as nbr_ops
+        nbr = nbr_ops.build(pos, h, cfg, skin=skin)
+    else:
+        nbr = jnp.asarray(0, jnp.int32)
+    if cfg.gravity_solver == "tree":
+        from ..ops import tree as tree_ops
+        tree = tree_ops.build_cache(pos, h, mass, cfg, skin=skin)
+    else:
+        tree = jnp.asarray(0, jnp.int32)
+    return nbr, tree
+
+
+def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree) -> Forces:
+    if cfg.neighbor_mode == "grid":
+        from ..ops import neighbors as nbr_ops
+        p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg, lists=nbr)
+    else:
+        from ..ops.pallas import pairwise
+        if cfg.use_pallas and pairwise._on_tpu():
+            p1 = pairwise.pass1(pos, h, mass, cfg)
+            grad_p_fn = partial(pairwise.pass2, pos, h, mass)
+        else:
+            p1 = dense.pass1(pos, h, mass, cfg)
+            grad_p_fn = partial(dense.pass2, pos, h, mass)
+
+    rho, nn, phi, grad_phi, n_direct = p1
+    n_approx = jnp.zeros_like(n_direct)
+    if cfg.gravity_solver == "tree":
+        from ..ops import tree as tree_ops
+        out = tree_ops.evaluate(tree, pos, h, mass, cfg)
+        phi, grad_phi = out.phi, out.grad_phi
+        n_direct, n_approx = out.n_direct, out.n_approx
+
+    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+    grad_p = grad_p_fn(rho, prs, cfg)
+    accel = -grad_p / rho[:, None] - grad_phi
+    return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
+                  accel)
+
+
+def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
+    """Prime forces and build initial caches (the cached-run analog of
+    :func:`prime`)."""
+    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel, cfg)
+    f = _forces_cached(state.pos, state.h, state.mass, cfg, nbr, tree)
+    return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32),
+                 nbr, tree)
+
+
+def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
+    """One cached step (either integrator)."""
+    state, tick = carry.state, carry.tick
+    k = max(1, cfg.rebuild_every)
+    rebuild = (tick % k) == 0
+    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+
+    if cfg.integrator == "staggered_euler":
+        eval_pos, v_half = state.pos, None
+    else:
+        v_half = state.vel + 0.5 * dt * state.accel
+        eval_pos = state.pos + dt * v_half
+
+    # adaptive h only at rebuild steps (support must not outgrow the lists)
+    h_new = update_h(state.h, state.n_neighbors, cfg)
+    h = jnp.where(rebuild, h_new, state.h) if cfg.adaptive_h else state.h
+
+    def do_build(_):
+        return _build_caches(eval_pos, h, state.mass, state.vel, cfg)
+
+    def keep(_):
+        return carry.nbr, carry.tree
+
+    nbr, tree = jax.lax.cond(rebuild, do_build, keep, None)
+    f = _forces_cached(eval_pos, h, state.mass, cfg, nbr, tree)
+
+    if cfg.integrator == "staggered_euler":
+        pos = state.pos + state.vel * dt
+        vel = state.vel + f.accel * dt
+    else:
+        pos = eval_pos
+        vel = v_half + 0.5 * dt * f.accel
+    new_state = _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+    return Carry(new_state, tick + 1, nbr, tree)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
     """Advance n_steps under one lax.scan (one compiled program)."""
+    if cfg.rebuild_every > 1:
+        def body_c(c, _):
+            return step_carry(c, cfg), None
+        out, _ = jax.lax.scan(body_c, init_carry(state, cfg), None,
+                              length=n_steps)
+        return out.state
+
     def body(s, _):
         return step(s, cfg), None
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
@@ -148,6 +268,16 @@ def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
     display (``README.md:51-54``).
     """
     from ..utils import diagnostics
+
+    if cfg.rebuild_every > 1:
+        def outer_c(c, _):
+            def inner_c(c2, _):
+                return step_carry(c2, cfg), None
+            c, _ = jax.lax.scan(inner_c, c, None, length=chunk)
+            return c, diagnostics.measure(c.state, cfg)
+        carry, diags = jax.lax.scan(outer_c, init_carry(state, cfg), None,
+                                    length=n_chunks)
+        return carry.state, diags
 
     def outer(s, _):
         def inner(s2, _):

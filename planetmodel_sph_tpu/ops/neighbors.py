@@ -6,25 +6,23 @@ particle is a trigger sphere collider of radius kappa*h, the engine builds a
 the overlap stream through ``SplineKernel.Interacts``
 (``KernelSystem.cs:97-229``, ``Broadphase.cs:743-761``).
 
-TPU-native replacement — **group adjacency over Morton-sorted blocks**:
+TPU-native replacement — **group adjacency over cell-bounded Morton blocks**:
 
-1. Sort particles by Morton code; split the sorted order into contiguous
-   groups of ``nbr_group_size`` (B). Morton order makes groups spatially
-   compact, so a group AABB is tight (this is exactly what the reference's
-   BVH leaves achieve, without pointers).
+1. Sort particles by Morton code and split into blocks of ``nbr_group_size``
+   that never cross a level-lg octree cell (ops/grouping.py — this bounds
+   every block's AABB, which a plain fixed-stride split would not).
 2. Compute the [G, G] group-AABB adjacency under the pair cutoff
-   2*max(h_i, h_j) (the ``SplineKernel.Interacts`` predicate lifted to
-   groups, conservatively: box distance < 2*max over both groups' h).
+   kappa*max(h_i, h_j) (+ 2*skin when Verlet-cached) — the
+   ``SplineKernel.Interacts`` predicate lifted conservatively to groups.
 3. Compact each adjacency row to a fixed window of source-group indices
    ([G, W], overflow counted). Candidate gathering is then *contiguous
-   block* gathers (whole 32-particle groups), which TPUs do at full HBM
-   bandwidth — never per-element index gathers.
+   block* gathers (whole groups), which TPUs do at full HBM bandwidth —
+   never per-element index gathers.
 4. Evaluate SPH sums on dense [B, W*B] tiles with exact per-pair masking
    (W(r,h) = 0 outside support does the fine filtering, like the
-   reference's ``CalculateInteractionJob`` kernel evaluation).
-
-Self-pairs are excluded by sorted-index comparison; padded slots carry
-mass 0 and are additionally masked. Everything is static-shaped.
+   reference's ``CalculateInteractionJob`` kernel evaluation). Self pairs
+   are excluded by original-index comparison; duplicate padding slots are
+   masked as sources via the grouping's `live` mask.
 """
 
 from __future__ import annotations
@@ -35,62 +33,61 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from . import kernels, morton
+from . import grouping, kernels
 from .dense import Pass1Out
 
 
 class GroupLists(NamedTuple):
-    order: jax.Array      # [Np]   sorted-particle -> original index (padded)
-    src_idx: jax.Array    # [G,W]  adjacent source-group ids (-1 padded)
-    n_src: jax.Array      # [G]    adjacency row sizes (may exceed W)
-    overflow: jax.Array   # []     total adjacency entries dropped
+    groups: grouping.Groups  # cell-bounded grouping (frozen at build)
+    src_idx: jax.Array       # [G,W]  adjacent source-group ids (-1 padded)
+    n_src: jax.Array         # [G]    adjacency row sizes (may exceed W)
+    overflow: jax.Array      # []     total adjacency entries dropped
 
 
-def _sort_pad(pos, h, cfg: SimConfig):
-    n = pos.shape[0]
-    b = cfg.nbr_group_size
-    g = -(-n // b)
-    n_pad = g * b
+def build(pos, h, cfg: SimConfig, skin=0.0) -> GroupLists:
+    """Adjacency structure for the current positions/smoothing lengths.
+
+    `skin`: the cutoff is widened by 2*skin so the lists stay valid while
+    every particle moves less than `skin` (Verlet-list margin; smoothing
+    lengths must be frozen between rebuilds, which the model guarantees
+    when rebuild caching is on).
+    """
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
-    code = morton.encode(pos, lo, hi)
-    order = jnp.argsort(code).astype(jnp.int32)
-    order_pad = jnp.pad(order, (0, n_pad - n), mode="edge")
-    return order_pad, g, b, n_pad
-
-
-def build(pos, h, cfg: SimConfig) -> GroupLists:
-    """Adjacency structure for the current positions/smoothing lengths."""
-    n = pos.shape[0]
-    order_pad, g, b, n_pad = _sort_pad(pos, h, cfg)
+    grp = grouping.cell_groups(pos, lo, hi, cfg.nbr_group_size,
+                               cfg.nbr_group_level)
+    g, b = grp.live.shape
     w = cfg.nbr_window
 
-    pos_s = pos[order_pad].reshape(g, b, 3)
-    h_s = h[order_pad].reshape(g, b)
+    pos_s = pos[grp.tgt_idx].reshape(g, b, 3)
+    h_s = h[grp.tgt_idx].reshape(g, b)
+    # duplicates replicate real members, so min/max over the block is the
+    # true bbox; fully-dead groups get a degenerate box at some particle
     glo = jnp.min(pos_s, axis=1)                 # [G,3]
     ghi = jnp.max(pos_s, axis=1)
-    ghmax = jnp.max(h_s, axis=1)                 # [G]
+    ghmax = jnp.max(jnp.where(grp.live, h_s, 0.0), axis=1)
 
     # box-to-box gap per group pair, cutoff = kappa * max(h) over both groups
     gap = jnp.maximum(
         jnp.maximum(glo[:, None, :] - ghi[None, :, :],
                     glo[None, :, :] - ghi[:, None, :]), 0.0)  # [G,G,3]
     dist2 = jnp.sum(gap * gap, axis=-1)
-    cut = cfg.kappa * jnp.maximum(ghmax[:, None], ghmax[None, :])
-    adj = dist2 < cut * cut                      # [G,G] (includes self)
+    cut = (cfg.kappa * jnp.maximum(ghmax[:, None], ghmax[None, :])
+           + 2.0 * skin)
+    gvalid = jnp.any(grp.live, axis=1)
+    adj = (dist2 < cut * cut) & gvalid[:, None] & gvalid[None, :]
 
     # compact each row to [W] source-group ids
     inc = jnp.cumsum(adj, axis=1) - adj
     posns = jnp.where(adj, inc, w).astype(jnp.int32)
     cols = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[None, :], (g, g))
-    src_idx = jnp.full((g, w), -1, jnp.int32)
     src_idx = jax.vmap(
         lambda p, c: jnp.full((w,), -1, jnp.int32).at[p].set(
             c, mode="drop", indices_are_sorted=True, unique_indices=True)
     )(posns, cols)
     n_src = jnp.sum(adj, axis=1).astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(n_src - w, 0))
-    return GroupLists(order_pad, src_idx, n_src, overflow)
+    return GroupLists(grp, src_idx, n_src, overflow)
 
 
 def _gather_blocks(x_sorted_groups, src_idx):
@@ -99,12 +96,16 @@ def _gather_blocks(x_sorted_groups, src_idx):
     return x_sorted_groups[safe]
 
 
-def make_passes(pos, h, mass, cfg: SimConfig):
+def make_passes(pos, h, mass, cfg: SimConfig, lists: GroupLists = None):
     """Grid-mode pass1/pass2 with the dense-pass interface.
 
     Returns (Pass1Out, grad_p_fn) where Pass1Out carries zero gravity fields
     (long-range gravity is the tree's job at grid scales — enforced in
     config) and grad_p_fn(rho, pressure, cfg) -> [N,3].
+
+    `lists`: optionally a prebuilt (possibly skin-cached) GroupLists; the
+    frozen grouping inside it is used, so it stays valid as particles move
+    within the skin.
     """
     if cfg.gravity_solver == "direct":
         raise ValueError(
@@ -112,42 +113,33 @@ def make_passes(pos, h, mass, cfg: SimConfig):
             "gravity_solver='tree' (or 'none') at grid scales.")
 
     n = pos.shape[0]
-    lists = build(pos, h, cfg)
-    order = lists.order
-    g = lists.src_idx.shape[0]
-    b = cfg.nbr_group_size
+    if lists is None:
+        lists = build(pos, h, cfg)
+    grp = lists.groups
+    g, b = grp.live.shape
     w = cfg.nbr_window
-    n_pad = g * b
+    gb = g * b
 
-    pos_s = pos[order].reshape(g, b, 3)
-    h_s = h[order].reshape(g, b)
-    mass_s = mass[order].reshape(g, b)
-    # global sorted slot id; padded tail slots replicate real particles, so
-    # mask them out as sources via slot >= n and as self via slot equality
-    slot = jnp.arange(n_pad, dtype=jnp.int32).reshape(g, b)
-    live = (slot < n)
-    # scatter target: original index for real rows, out-of-bounds for pads
-    _scatter_idx = jnp.where(slot.reshape(n_pad) < n,
-                             order.astype(jnp.int32), n)
+    oid = grp.tgt_idx.reshape(g, b)              # original index per slot
+    live = grp.live
+    pos_s = pos[grp.tgt_idx].reshape(g, b, 3)
+    h_s = h[grp.tgt_idx].reshape(g, b)
+    mass_s = mass[grp.tgt_idx].reshape(g, b)
 
     src_pos = _gather_blocks(pos_s, lists.src_idx).reshape(g, w * b, 3)
     src_h = _gather_blocks(h_s, lists.src_idx).reshape(g, w * b)
     src_mass = _gather_blocks(mass_s, lists.src_idx).reshape(g, w * b)
-    src_slot = (lists.src_idx[:, :, None] * b
-                + jnp.arange(b, dtype=jnp.int32)[None, None, :]
-                ).reshape(g, w * b)
-    src_ok = ((lists.src_idx >= 0)[:, :, None]
-              & jnp.ones((1, 1, b), bool)).reshape(g, w * b)
-    src_ok = src_ok & (src_slot < n) & (src_slot >= 0)
+    src_oid = _gather_blocks(oid, lists.src_idx).reshape(g, w * b)
+    src_live = _gather_blocks(live, lists.src_idx).reshape(g, w * b)
+    src_ok = src_live & ((lists.src_idx >= 0)[:, :, None]
+                         & jnp.ones((1, 1, b), bool)).reshape(g, w * b)
 
-    # original (unsorted) index of every source slot, for buffer parity
     def pass1():
-        def per_group(p_t, h_t, m_t, slot_t, live_t, p_s, h_sv, m_s,
-                      slot_s, ok_s):
+        def per_group(p_t, h_t, m_t, oid_t, p_s, h_sv, m_s, oid_s, ok_s):
             dx = p_t[:, None, :] - p_s[None, :, :]       # [B, W*B, 3]
             r2 = jnp.sum(dx * dx, axis=-1)
             r = jnp.sqrt(r2)
-            pair = ok_s[None, :] & (slot_t[:, None] != slot_s[None, :])
+            pair = ok_s[None, :] & (oid_t[:, None] != oid_s[None, :])
             w_i = kernels.w(r, h_t[:, None])
             w_j = kernels.w(r, h_sv[None, :])
             w_sym = 0.5 * (w_i + w_j)
@@ -157,32 +149,32 @@ def make_passes(pos, h, mass, cfg: SimConfig):
             return rho, nn
 
         rho_g, nn_g = jax.vmap(per_group)(
-            pos_s, h_s, mass_s, slot, live, src_pos, src_h, src_mass,
-            src_slot, src_ok)
-        # unsort; padded duplicate targets (their results include a spurious
-        # self-pair) are routed out of bounds and dropped
-        rho = jnp.zeros((n,), pos.dtype).at[_scatter_idx].set(
-            rho_g.reshape(n_pad), mode="drop")
-        nn = jnp.zeros((n,), jnp.int32).at[_scatter_idx].set(
-            nn_g.reshape(n_pad), mode="drop")
+            pos_s, h_s, mass_s, oid, src_pos, src_h, src_mass,
+            src_oid, src_ok)
+        # unsort; duplicate target slots write identical values, dead slots
+        # scatter out of bounds and drop
+        rho = jnp.zeros((n,), pos.dtype).at[grp.scatter_to].set(
+            rho_g.reshape(gb), mode="drop")
+        nn = jnp.zeros((n,), jnp.int32).at[grp.scatter_to].set(
+            nn_g.reshape(gb), mode="drop")
         z1 = jnp.zeros((n,), pos.dtype)
         z3 = jnp.zeros((n, 3), pos.dtype)
         zi = jnp.zeros((n,), jnp.int32)
         return Pass1Out(rho, nn, z1, z3, zi)
 
     def grad_p_fn(rho, pressure, cfg2: SimConfig):
-        rho_s = rho[order].reshape(g, b)
-        prs_s = pressure[order].reshape(g, b)
+        rho_s = rho[grp.tgt_idx].reshape(g, b)
+        prs_s = pressure[grp.tgt_idx].reshape(g, b)
         src_rho = _gather_blocks(rho_s, lists.src_idx).reshape(g, w * b)
         src_prs = _gather_blocks(prs_s, lists.src_idx).reshape(g, w * b)
         sign_bug = cfg2.kernel_deriv_sign_bug
 
-        def per_group(p_t, h_t, slot_t, rho_t, prs_t,
-                      p_s, h_sv, m_s, slot_s, ok_s, rho_sv, prs_sv):
+        def per_group(p_t, h_t, oid_t, rho_t, prs_t,
+                      p_s, h_sv, m_s, oid_s, ok_s, rho_sv, prs_sv):
             dx = p_t[:, None, :] - p_s[None, :, :]
             r2 = jnp.sum(dx * dx, axis=-1)
             r = jnp.sqrt(r2)
-            pair = ok_s[None, :] & (slot_t[:, None] != slot_s[None, :])
+            pair = ok_s[None, :] & (oid_t[:, None] != oid_s[None, :])
             gw_i = kernels.dw_dr_over_r(r, h_t[:, None], sign_bug)
             gw_j = kernels.dw_dr_over_r(r, h_sv[None, :], sign_bug)
             gsym = 0.5 * (gw_i + gw_j)
@@ -198,9 +190,9 @@ def make_passes(pos, h, mass, cfg: SimConfig):
             return jnp.sum(dx * (gsym * coef)[..., None], axis=-2)
 
         gp_g = jax.vmap(per_group)(
-            pos_s, h_s, slot, rho_s, prs_s,
-            src_pos, src_h, src_mass, src_slot, src_ok, src_rho, src_prs)
-        return jnp.zeros((n, 3), pos.dtype).at[_scatter_idx].set(
-            gp_g.reshape(n_pad, 3), mode="drop")
+            pos_s, h_s, oid, rho_s, prs_s,
+            src_pos, src_h, src_mass, src_oid, src_ok, src_rho, src_prs)
+        return jnp.zeros((n, 3), pos.dtype).at[grp.scatter_to].set(
+            gp_g.reshape(gb, 3), mode="drop")
 
     return pass1(), grad_p_fn

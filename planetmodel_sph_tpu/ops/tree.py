@@ -52,6 +52,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from . import gravity as grav_ops
+from . import grouping
 from . import morton
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -168,9 +169,39 @@ class TreeOut(NamedTuple):
     p2p_overflow: jax.Array  # [] dropped P2P cells/particles (should be 0)
 
 
-def gravity_full(pos, h, mass, cfg: SimConfig, src=None,
-                 target_offset=0) -> TreeOut:
-    """Barnes-Hut gravity for targets `pos` from sources `src` (or self)."""
+class TreeCache(NamedTuple):
+    """Frozen interaction lists (the Verlet-list analog for gravity).
+
+    Built by :func:`build_cache` with a skin margin and re-evaluated against
+    *current* positions for up to `rebuild_every` steps — the same
+    amortization the reference applies within one step when the broadphase
+    expands AABBs by v*dt (``Broadphase.cs:743-761``), stretched across
+    steps. M2P entries freeze node moments at build time (staleness error
+    ~ v*K*dt/r, well under the theta=0.7 MAC error for sane skins); P2P
+    entries are indices into the frozen source sort, so P2P forces are
+    always exact for current positions.
+    """
+    order_s: jax.Array      # [S]      frozen source Morton sort
+    tgt_idx: jax.Array      # [G*B]    original target index per group slot
+    scatter_to: jax.Array   # [G*B]    tgt_idx, or n for dead/duplicate slots
+    gidx_t: jax.Array       # [G,B]    global target ids (offset folded in)
+    m2p: jax.Array          # [G,cap,4] frozen accepted (cm, mass)
+    m2p_n: jax.Array        # [G]
+    p2p_idx: jax.Array      # [G,P]    indices into the frozen source sort
+    p2p_valid: jax.Array    # [G,P]
+    m2p_overflow: jax.Array
+    p2p_overflow: jax.Array
+    overflow_detail: jax.Array  # [4]: m2p, cell-list, p2p-expand, frontier
+
+
+def build_cache(pos, h, mass, cfg: SimConfig, src=None,
+                target_offset=0, skin=0.0) -> TreeCache:
+    """Traverse once and freeze the per-group interaction lists.
+
+    `skin`: group AABBs are inflated by 2*skin before the MAC, so the lists
+    stay conservative while every particle moves less than `skin` (targets
+    and sources each contribute up to one skin of approach).
+    """
     if src is None:
         src = (pos, h, mass)
     pos_s, h_s, mass_s = src
@@ -199,19 +230,27 @@ def gravity_full(pos, h, mass, cfg: SimConfig, src=None,
 
     levels = _build_levels(code_s, pos_ss, mass_ss, n_levels)
 
-    # ---- target Morton sort + grouping ----
-    code_t = morton.encode(pos, lo, hi)
-    order_t = jnp.argsort(code_t).astype(jnp.int32)
-    n_groups = -(-n // bsz)
-    n_pad = n_groups * bsz
-    order_t_pad = jnp.pad(order_t, (0, n_pad - n), mode="edge")
-    pos_t = pos[order_t_pad].reshape(n_groups, bsz, 3)
-    h_t = h[order_t_pad].reshape(n_groups, bsz)
-    gidx_t = (order_t_pad.astype(jnp.int32)
-              + jnp.asarray(target_offset, jnp.int32)).reshape(n_groups, bsz)
+    # ---- target Morton sort + cell-bounded grouping ----
+    # Cell-bounded groups (see ops/grouping.py) keep every group's AABB
+    # within one level-lg octree cell; a plain fixed-stride split would
+    # create "seam groups" straddling octant boundaries whose AABBs span the
+    # whole domain — the MAC then accepts nothing and their P2P explodes.
+    grp = grouping.cell_groups(pos, lo, hi, bsz, cfg.tree_group_level)
+    n_groups = grp.live.shape[0]
+    tgt_idx = grp.tgt_idx
+    gvalid = jnp.any(grp.live, axis=1)
+    scatter_to = grp.scatter_to
+    pos_t = pos[tgt_idx].reshape(n_groups, bsz, 3)
+    gidx_t = (tgt_idx + jnp.asarray(target_offset, jnp.int32)
+              ).reshape(n_groups, bsz)
 
-    g_lo = jnp.min(pos_t, axis=1)               # [G,3]
-    g_hi = jnp.max(pos_t, axis=1)
+    # Conservative skin accounting: targets approach by <= skin, sources by
+    # <= skin (rmin shrinks by 2*skin), and node bmax can grow by <= skin;
+    # folding the bmax growth into rmin needs skin/theta more. 2 + 1/theta
+    # <= 3.5 for theta >= 0.66; use 3.5*skin for simplicity.
+    pad_sk = 3.5 * skin
+    g_lo = jnp.min(pos_t, axis=1) - pad_sk      # [G,3]
+    g_hi = jnp.max(pos_t, axis=1) + pad_sk
 
     # per-level frontier capacity: the frontier can never exceed the number
     # of cells at that level, nor 8x the previous frontier
@@ -287,18 +326,41 @@ def gravity_full(pos, h, mass, cfg: SimConfig, src=None,
         p2p_idx, p2p_valid = _expand_ragged(cells[:, 0], counts,
                                             total, p2p_cap)
         m2p_over = jnp.maximum(m2p_n - m2p_cap, 0)
-        p2p_over = (jnp.maximum(cell_n - cell_cap, 0)
-                    + jnp.maximum(total - p2p_cap, 0) + front_overflow)
-        return (m2p, jnp.minimum(m2p_n, m2p_cap), p2p_idx, p2p_valid,
-                m2p_over, p2p_over)
+        cell_over = jnp.maximum(cell_n - cell_cap, 0)
+        pexp_over = jnp.maximum(total - p2p_cap, 0)
+        detail = jnp.stack([m2p_over, cell_over, pexp_over, front_overflow])
+        return (m2p, jnp.minimum(m2p_n, m2p_cap), p2p_idx, p2p_valid, detail)
 
-    m2p, m2p_n, p2p_idx, p2p_valid, m2p_over, p2p_over = jax.vmap(walk)(
-        g_lo, g_hi)
+    m2p, m2p_n, p2p_idx, p2p_valid, detail = jax.vmap(walk)(g_lo, g_hi)
+    # zero out the lists of invalid (padding) groups so they cost nothing
+    # in overflow accounting
+    detail = jnp.sum(jnp.where(gvalid[:, None], detail, 0), axis=0)
+    return TreeCache(orig_s, tgt_idx, scatter_to, gidx_t, m2p, m2p_n,
+                     p2p_idx, p2p_valid, detail[0], jnp.sum(detail[1:]),
+                     detail)
 
-    inv_h_ss = 1.0 / h_ss
 
-    # ---- evaluation ----
-    def evaluate(pos_g, h_g, gid_g, m2p_g, nm2p, pidx, pvalid):
+def evaluate(cache: TreeCache, pos, h, mass, cfg: SimConfig,
+             src=None) -> TreeOut:
+    """Evaluate frozen lists against CURRENT positions/h/masses."""
+    if src is None:
+        src = (pos, h, mass)
+    pos_s, h_s, mass_s = src
+    n = pos.shape[0]
+    s = pos_s.shape[0]
+    bsz = cfg.tree_group_size
+    n_pad = cache.tgt_idx.shape[0]
+    n_groups = n_pad // bsz
+
+    orig_s = cache.order_s
+    pos_ss = pos_s[orig_s]
+    h_ss = h_s[orig_s]
+    mass_ss = mass_s[orig_s]
+    pos_t = pos[cache.tgt_idx].reshape(n_groups, bsz, 3)
+    h_t = h[cache.tgt_idx].reshape(n_groups, bsz)
+    inv_h_ss = 1.0 / jnp.where(h_ss > 0, h_ss, 1.0)
+
+    def eval_group(pos_g, h_g, gid_g, m2p_g, nm2p, pidx, pvalid):
         # M2P: zero-mass padded slots contribute nothing (monopole ~ m)
         cm_g = m2p_g[:, :3]
         m_g = m2p_g[:, 3]
@@ -330,17 +392,32 @@ def gravity_full(pos, h, mass, cfg: SimConfig, src=None,
         n_approx = jnp.broadcast_to(nm2p, n_direct.shape)
         return phi, grad, n_direct, n_approx
 
-    phi_g, grad_g, nd_g, na_g = jax.vmap(evaluate)(
-        pos_t, h_t, gidx_t, m2p, m2p_n, p2p_idx, p2p_valid)
+    phi_g, grad_g, nd_g, na_g = jax.vmap(eval_group)(
+        pos_t, h_t, cache.gidx_t, cache.m2p, cache.m2p_n,
+        cache.p2p_idx, cache.p2p_valid)
 
     # ---- unsort back to original target order ----
-    flat = lambda x: x.reshape((n_pad,) + x.shape[2:])[:n]
-    phi = jnp.zeros((n,), pos.dtype).at[order_t].set(flat(phi_g))
-    grad_phi = jnp.zeros((n, 3), pos.dtype).at[order_t].set(flat(grad_g))
-    n_direct = jnp.zeros((n,), jnp.int32).at[order_t].set(flat(nd_g))
-    n_approx = jnp.zeros((n,), jnp.int32).at[order_t].set(flat(na_g))
+    # duplicate slots write identical values; dead slots scatter to n (drop)
+    flat = lambda x: x.reshape((n_pad,) + x.shape[2:])
+    scatter_to = cache.scatter_to
+    phi = jnp.zeros((n,), pos.dtype).at[scatter_to].set(
+        flat(phi_g), mode="drop")
+    grad_phi = jnp.zeros((n, 3), pos.dtype).at[scatter_to].set(
+        flat(grad_g), mode="drop")
+    n_direct = jnp.zeros((n,), jnp.int32).at[scatter_to].set(
+        flat(nd_g), mode="drop")
+    n_approx = jnp.zeros((n,), jnp.int32).at[scatter_to].set(
+        flat(na_g), mode="drop")
     return TreeOut(phi, grad_phi, n_direct, n_approx,
-                   jnp.sum(m2p_over), jnp.sum(p2p_over))
+                   cache.m2p_overflow, cache.p2p_overflow)
+
+
+def gravity_full(pos, h, mass, cfg: SimConfig, src=None,
+                 target_offset=0) -> TreeOut:
+    """Build + evaluate in one shot (fresh lists, zero skin)."""
+    cache = build_cache(pos, h, mass, cfg, src=src,
+                        target_offset=target_offset)
+    return evaluate(cache, pos, h, mass, cfg, src=src)
 
 
 def gravity(pos, h, mass, cfg: SimConfig, src=None, target_offset=0):

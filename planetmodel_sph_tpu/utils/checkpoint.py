@@ -19,6 +19,14 @@ from ..state import ParticleState
 
 
 def save(path: str, state: ParticleState, cfg: SimConfig, step: int = 0) -> None:
+    """Save a checkpoint. `.psph` paths use the native async binary writer
+    (runtime/snapshot.py, CRC-framed, background flush thread); anything
+    else (or a missing native toolchain) uses npz."""
+    if path.endswith(".psph"):
+        from ..runtime import snapshot
+        if snapshot.save(path, state, cfg, step):
+            return
+        # toolchain unavailable: fall through to npz at the same path
     arrays = {
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(state)
@@ -33,7 +41,12 @@ def save(path: str, state: ParticleState, cfg: SimConfig, step: int = 0) -> None
 
 
 def load(path: str):
-    """Returns (state, cfg, step)."""
+    """Returns (state, cfg, step). Auto-detects PSPH1 binary vs npz."""
+    with open(path, "rb") as f:
+        magic = f.read(5)
+    if magic == b"PSPH1":
+        from ..runtime import snapshot
+        return snapshot.load(path)
     with np.load(path) as z:
         cfg = SimConfig(**json.loads(bytes(z["__config__"]).decode()))
         step = int(z["__step__"])
