@@ -89,8 +89,8 @@ class SimConfig:
     #           candidate windows, dense tile evaluation) — the broadphase
     #           replacement for 10k+ particles
     neighbor_mode: Literal["dense", "grid"] = "dense"
-    nbr_group_size: int = 32       # particles per Morton block
-    nbr_window: int = 32           # adjacent source blocks per target block
+    nbr_group_size: int = 64       # particles per Morton block
+    nbr_window: int = 48           # adjacent source blocks per target block
                                    # (overflow counted, never wrapped)
     nbr_group_level: int = 4       # blocks never cross cells of this octree
                                    # level (kills Morton-seam blocks)
@@ -110,16 +110,15 @@ class SimConfig:
     tree_group_level: int = 3      # target groups never cross cells of this
                                    # level (kills Morton-seam groups whose
                                    # AABB would span octant boundaries)
-    tree_frontier: int = 2048      # per-group open-node frontier capacity
-    tree_group_size: int = 128     # target group size (Morton-contiguous)
+    tree_frontier: int = 4096      # per-group open-node frontier capacity
+    tree_group_size: int = 256     # target group size (Morton-contiguous)
     tree_m2p_cap: int = 2048       # accepted multipole list capacity / group
     tree_p2p_cell_cap: int = 1024  # rejected leaf-cell list capacity / group
-    tree_p2p_cap: int = 8192       # P2P source-particle capacity / group
-    tree_leaf_count: int = 32      # treat cells this small as leaves (the
+    tree_p2p_cap: int = 6144       # P2P source-particle capacity / group
+    tree_leaf_count: int = 16      # treat cells this small as leaves (the
                                    # generalization of the BVH's 4-body
                                    # leaves; larger values trade dense P2P
-                                   # flops for traversal depth — the right
-                                   # trade on TPU)
+                                   # flops for traversal depth)
 
     # ---- interaction-list caching (Verlet-skin amortization) ----
     # Rebuild the neighbor adjacency and the gravity tree lists every
@@ -192,6 +191,7 @@ def jupiter_100k(**kw) -> SimConfig:
         n=100_000,
         gravity_solver="tree",
         neighbor_mode="grid",
+        rebuild_every=8,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

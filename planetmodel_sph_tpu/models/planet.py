@@ -104,11 +104,12 @@ def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState
 
 
 def step_staggered(state: ParticleState, cfg: SimConfig,
-                   forces_fn=None) -> ParticleState:
+                   forces_fn=None, update_smoothing=True) -> ParticleState:
     """Reference-ordered step (SURVEY.md §3.2)."""
     forces_fn = forces_fn or _default_forces(cfg)
     dt = jnp.asarray(cfg.dt, state.pos.dtype)
-    h = update_h(state.h, state.n_neighbors, cfg)
+    h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
+        else state.h
     f = forces_fn(state.pos, h, state.mass)
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel + f.accel * dt            # VelocitySystem.cs:34
@@ -116,13 +117,14 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
-             forces_fn=None) -> ParticleState:
+             forces_fn=None, update_smoothing=True) -> ParticleState:
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step."""
     forces_fn = forces_fn or _default_forces(cfg)
     dt = jnp.asarray(cfg.dt, state.pos.dtype)
     v_half = state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
-    h = update_h(state.h, state.n_neighbors, cfg)
+    h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
+        else state.h
     f = forces_fn(pos, h, state.mass)
     vel = v_half + 0.5 * dt * f.accel
     return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
@@ -147,15 +149,25 @@ class Carry(NamedTuple):
     tree: object      # TreeCache when gravity_solver='tree', else int32 0
 
 
-def _skin(cfg: SimConfig, vel):
+def _skin(cfg: SimConfig, vel, accel):
+    """Bound on per-particle motion over a rebuild period.
+
+    Uses v_max*T + 0.5*a_max*T^2 (T = rebuild_every*dt) so a cold start
+    (v=0) still gets a nonzero margin from the acceleration field, times
+    skin_safety for force growth within the period.
+    """
     if cfg.rebuild_every <= 1:
         return jnp.asarray(0.0, vel.dtype)
+    t = cfg.rebuild_every * cfg.dt
     vmax = jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=-1)))
-    return (cfg.skin_safety * cfg.rebuild_every * cfg.dt) * vmax
+    amax = jnp.sqrt(jnp.max(jnp.sum(accel * accel, axis=-1)))
+    return cfg.skin_safety * (t * vmax + 0.5 * t * t * amax)
 
 
-def _build_caches(pos, h, mass, vel, cfg: SimConfig):
-    skin = _skin(cfg, vel)
+def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
+    if accel is None:
+        accel = jnp.zeros_like(vel)
+    skin = _skin(cfg, vel, accel)
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
         nbr = nbr_ops.build(pos, h, cfg, skin=skin)
@@ -200,14 +212,22 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree) -> Forces:
 def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     """Prime forces and build initial caches (the cached-run analog of
     :func:`prime`)."""
-    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel, cfg)
+    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
+                              cfg, accel=state.accel)
     f = _forces_cached(state.pos, state.h, state.mass, cfg, nbr, tree)
     return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32),
                  nbr, tree)
 
 
 def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
-    """One cached step (either integrator)."""
+    """One cached step (either integrator).
+
+    NOTE: inside lax.scan XLA may execute the rebuild branch of the cond
+    every step (conditional-to-select conversion), so the scan runners below
+    use :func:`run_chunk_cached` (rebuild hoisted out of the inner scan —
+    deterministic control flow) instead. step_carry remains the incremental
+    API for driving single steps from Python.
+    """
     state, tick = carry.state, carry.tick
     k = max(1, cfg.rebuild_every)
     rebuild = (tick % k) == 0
@@ -224,7 +244,8 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     h = jnp.where(rebuild, h_new, state.h) if cfg.adaptive_h else state.h
 
     def do_build(_):
-        return _build_caches(eval_pos, h, state.mass, state.vel, cfg)
+        return _build_caches(eval_pos, h, state.mass, state.vel, cfg,
+                             accel=state.accel)
 
     def keep(_):
         return carry.nbr, carry.tree
@@ -242,15 +263,46 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     return Carry(new_state, tick + 1, nbr, tree)
 
 
+def run_chunk_cached(state: ParticleState, cfg: SimConfig,
+                     k: int) -> ParticleState:
+    """Rebuild structures once, then advance k fixed-structure steps.
+
+    The adaptive-h relaxation is applied once at the chunk boundary so
+    support radii cannot outgrow the cached cutoffs; the skin margin covers
+    k steps of motion (built conservatively from pre-drift positions with
+    skin_safety >= 2).
+    """
+    if cfg.adaptive_h:
+        state = state.replace(h=update_h(state.h, state.n_neighbors, cfg))
+    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
+                              cfg, accel=state.accel)
+    forces_fn = lambda p, hh, m: _forces_cached(p, hh, m, cfg, nbr, tree)
+
+    if cfg.integrator == "staggered_euler":
+        one = lambda s: step_staggered(s, cfg, forces_fn,
+                                       update_smoothing=False)
+    else:
+        one = lambda s: step_kdk(s, cfg, forces_fn, update_smoothing=False)
+
+    def body(s, _):
+        return one(s), None
+
+    out, _ = jax.lax.scan(body, state, None, length=k)
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
     """Advance n_steps under one lax.scan (one compiled program)."""
     if cfg.rebuild_every > 1:
-        def body_c(c, _):
-            return step_carry(c, cfg), None
-        out, _ = jax.lax.scan(body_c, init_carry(state, cfg), None,
-                              length=n_steps)
-        return out.state
+        k = cfg.rebuild_every
+        n_outer, rem = divmod(n_steps, k)
+        def body_c(s, _):
+            return run_chunk_cached(s, cfg, k), None
+        state, _ = jax.lax.scan(body_c, state, None, length=n_outer)
+        if rem:
+            state = run_chunk_cached(state, cfg, rem)
+        return state
 
     def body(s, _):
         return step(s, cfg), None
@@ -270,14 +322,16 @@ def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
     from ..utils import diagnostics
 
     if cfg.rebuild_every > 1:
-        def outer_c(c, _):
-            def inner_c(c2, _):
-                return step_carry(c2, cfg), None
-            c, _ = jax.lax.scan(inner_c, c, None, length=chunk)
-            return c, diagnostics.measure(c.state, cfg)
-        carry, diags = jax.lax.scan(outer_c, init_carry(state, cfg), None,
-                                    length=n_chunks)
-        return carry.state, diags
+        k = cfg.rebuild_every
+        n_inner, rem_inner = divmod(chunk, k)
+        def outer_c(s, _):
+            def inner_c(s2, _):
+                return run_chunk_cached(s2, cfg, k), None
+            s, _ = jax.lax.scan(inner_c, s, None, length=n_inner)
+            if rem_inner:
+                s = run_chunk_cached(s, cfg, rem_inner)
+            return s, diagnostics.measure(s, cfg)
+        return jax.lax.scan(outer_c, state, None, length=n_chunks)
 
     def outer(s, _):
         def inner(s2, _):

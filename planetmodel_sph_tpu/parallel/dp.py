@@ -45,6 +45,10 @@ def _dp_forces(cfg: SimConfig, axis: str):
         h_g = jax.lax.all_gather(h, axis, tiled=True)
         mass_g = jax.lax.all_gather(mass, axis, tiled=True)
 
+        # SPH pairs: the dense target/source pass handles any neighbor_mode
+        # under dp (the grid path's group adjacency is single-set; with
+        # all-gathered sources the dense pass is the same math — grid-mode
+        # sharded adjacency is a future optimization, not a correctness gap).
         p1 = dense.pass1(pos, h, mass, cfg, src=(pos_g, h_g, mass_g),
                          target_offset=off)
         rho, nn, phi, grad_phi, n_direct = p1

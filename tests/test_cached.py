@@ -27,8 +27,8 @@ def test_cached_matches_exact_over_short_run():
     # adaptive h off: cached mode legitimately applies the h relaxation only
     # at rebuild steps, so trajectories are only comparable at frozen h
     exact, cached = cfg_pair(adaptive_h=False)
-    st = ics.jupiter(exact)
-    a = planet.run(planet.prime(st, exact), exact, 8)
+    st = planet.prime(ics.jupiter(exact), exact)
+    a = planet.run(st, exact, 8)
     b = planet.run(st, cached, 8)
     # same physics to tree-MAC accuracy + frozen-moment staleness
     np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
@@ -74,9 +74,17 @@ def test_carry_step_rebuild_cadence():
 def test_skin_zero_when_disabled():
     exact, cached = cfg_pair()
     v = jnp.ones((4, 3))
-    assert float(planet._skin(exact, v)) == 0.0
+    a = jnp.zeros((4, 3))
+    assert float(planet._skin(exact, v, a)) == 0.0
     expected = 2.0 * 4 * exact.dt * float(jnp.sqrt(3.0))
-    assert float(planet._skin(cached, v)) == pytest.approx(expected, rel=1e-5)
+    assert float(planet._skin(cached, v, a)) == pytest.approx(expected,
+                                                              rel=1e-5)
+    # acceleration contributes 0.5*a*T^2
+    a2 = jnp.ones((4, 3))
+    t = 4 * exact.dt
+    expected2 = 2.0 * (t + 0.5 * t * t) * float(jnp.sqrt(3.0))
+    assert float(planet._skin(cached, v, a2)) == pytest.approx(expected2,
+                                                               rel=1e-5)
 
 
 def test_cached_dense_direct_also_works():
@@ -86,8 +94,8 @@ def test_cached_dense_direct_also_works():
                 adaptive_h=False)  # h cadence is the only cached/exact diff
     exact = psph.default(rebuild_every=1, **base)
     cached = psph.default(rebuild_every=4, **base)
-    st = ics.jupiter(exact)
-    a = planet.run(planet.prime(st, exact), exact, 6)
+    st = planet.prime(ics.jupiter(exact), exact)
+    a = planet.run(st, exact, 6)
     b = planet.run(st, cached, 6)
     np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
                                rtol=1e-4, atol=1e-5)

@@ -60,6 +60,22 @@ def test_dp_multistep_runs(cfg):
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_dp_tree_gravity_matches_single_chip():
+    cfg = psph.default(n=256, radius=10.0, particle_radius=2.2,
+                       block_n=64, gravity_solver="tree")
+    st = planet.prime(ics.jupiter(cfg), cfg)
+    ref = planet.step(st, cfg)
+    mesh = mesh_mod.make_mesh(8)
+    out = dp.make_step(cfg, mesh)(mesh_mod.shard_state(st, mesh))
+    # tree lists depend on per-shard target grouping, so agreement is to
+    # MAC accuracy, not bitwise
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-3, atol=1e-3)
+    assert int(jnp.sum(out.n_approx)) > 0
+
+
 def test_dp_on_subset_mesh(cfg):
     # mesh smaller than the device count must also work (n divisible by 4)
     mesh = mesh_mod.make_mesh(4)
