@@ -47,6 +47,8 @@ def _build_cfg(args) -> config_mod.SimConfig:
         kw["gravity_solver"] = args.gravity
     if getattr(args, "neighbor", None):
         kw["neighbor_mode"] = args.neighbor
+    if getattr(args, "freeze_velocity", False):
+        kw["freeze_velocity"] = True
     return _PRESETS[args.preset](**kw)
 
 
@@ -55,6 +57,8 @@ def _log(msg):
 
 
 def cmd_run(args) -> int:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     if args.restore:
         state, cfg, start_step = checkpoint.load(args.restore)
         _log(f"restored {args.restore} at step {start_step} (n={cfg.n})")
@@ -125,6 +129,12 @@ def main(argv=None) -> int:
     pr.add_argument("--restore", default=None, help="resume from .npz")
     pr.add_argument("--render", default=None, help="write final-state PNG")
     pr.add_argument("--metrics-jsonl", default=None)
+    pr.add_argument("--debug-nans", action="store_true",
+                    help="enable jax debug_nans (the purity-era analog of "
+                         "the reference's collections safety checks)")
+    pr.add_argument("--freeze-velocity", action="store_true",
+                    help="parity with DISABLE_VELOCITY_SYSTEM: compute "
+                         "fields but never apply accelerations")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="benchmark steps/sec")

@@ -133,6 +133,12 @@ class SimConfig:
     rebuild_every: int = 1
     skin_safety: float = 2.0
 
+    # ---- debug toggles ----
+    # parity with the reference's DISABLE_VELOCITY_SYSTEM define
+    # (VelocitySystem.cs:1): fields are computed but the SPH/gravity
+    # acceleration never updates velocities (positions still drift).
+    freeze_velocity: bool = False
+
     # ---- numerics ----
     dtype: str = "float32"
 
@@ -192,6 +198,7 @@ def jupiter_100k(**kw) -> SimConfig:
         gravity_solver="tree",
         neighbor_mode="grid",
         rebuild_every=8,
+        nbr_window=96,   # measured n_src max 91 at this scale (skin incl.)
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -112,7 +112,8 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
         else state.h
     f = forces_fn(state.pos, h, state.mass)
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
-    vel = state.vel + f.accel * dt            # VelocitySystem.cs:34
+    vel = state.vel if cfg.freeze_velocity \
+        else state.vel + f.accel * dt         # VelocitySystem.cs:34
     return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
 
 
@@ -121,12 +122,13 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step."""
     forces_fn = forces_fn or _default_forces(cfg)
     dt = jnp.asarray(cfg.dt, state.pos.dtype)
-    v_half = state.vel + 0.5 * dt * state.accel
+    v_half = state.vel if cfg.freeze_velocity \
+        else state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
     f = forces_fn(pos, h, state.mass)
-    vel = v_half + 0.5 * dt * f.accel
+    vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
 
 
@@ -277,6 +279,13 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig,
     nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
                               cfg, accel=state.accel)
     forces_fn = lambda p, hh, m: _forces_cached(p, hh, m, cfg, nbr, tree)
+    info = {
+        "nbr_overflow": (nbr.overflow if cfg.neighbor_mode == "grid"
+                         else jnp.asarray(0, jnp.int32)),
+        "tree_overflow": (tree.m2p_overflow + tree.p2p_overflow
+                          if cfg.gravity_solver == "tree"
+                          else jnp.asarray(0, jnp.int32)),
+    }
 
     if cfg.integrator == "staggered_euler":
         one = lambda s: step_staggered(s, cfg, forces_fn,
@@ -288,7 +297,7 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig,
         return one(s), None
 
     out, _ = jax.lax.scan(body, state, None, length=k)
-    return out
+    return out, info
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
@@ -298,10 +307,11 @@ def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
         k = cfg.rebuild_every
         n_outer, rem = divmod(n_steps, k)
         def body_c(s, _):
-            return run_chunk_cached(s, cfg, k), None
+            s2, _info = run_chunk_cached(s, cfg, k)
+            return s2, None
         state, _ = jax.lax.scan(body_c, state, None, length=n_outer)
         if rem:
-            state = run_chunk_cached(state, cfg, rem)
+            state, _ = run_chunk_cached(state, cfg, rem)
         return state
 
     def body(s, _):
@@ -325,12 +335,17 @@ def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
         k = cfg.rebuild_every
         n_inner, rem_inner = divmod(chunk, k)
         def outer_c(s, _):
-            def inner_c(s2, _):
-                return run_chunk_cached(s2, cfg, k), None
-            s, _ = jax.lax.scan(inner_c, s, None, length=n_inner)
+            def inner_c(carry, _):
+                s2, info2 = run_chunk_cached(carry, cfg, k)
+                return s2, info2
+            s, infos = jax.lax.scan(inner_c, s, None, length=n_inner)
+            info = jax.tree.map(lambda x: jnp.sum(x), infos)
             if rem_inner:
-                s = run_chunk_cached(s, cfg, rem_inner)
-            return s, diagnostics.measure(s, cfg)
+                s, info_r = run_chunk_cached(s, cfg, rem_inner)
+                info = jax.tree.map(jnp.add, info, info_r)
+            d = diagnostics.measure(s, cfg)
+            d.update({k2: v.astype(jnp.int32) for k2, v in info.items()})
+            return s, d
         return jax.lax.scan(outer_c, state, None, length=n_chunks)
 
     def outer(s, _):

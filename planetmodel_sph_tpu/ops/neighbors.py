@@ -126,11 +126,20 @@ def make_passes(pos, h, mass, cfg: SimConfig, lists: GroupLists = None):
     h_s = h[grp.tgt_idx].reshape(g, b)
     mass_s = mass[grp.tgt_idx].reshape(g, b)
 
-    src_pos = _gather_blocks(pos_s, lists.src_idx).reshape(g, w * b, 3)
-    src_h = _gather_blocks(h_s, lists.src_idx).reshape(g, w * b)
-    src_mass = _gather_blocks(mass_s, lists.src_idx).reshape(g, w * b)
-    src_oid = _gather_blocks(oid, lists.src_idx).reshape(g, w * b)
-    src_live = _gather_blocks(live, lists.src_idx).reshape(g, w * b)
+    # pack per-particle fields into one block row so candidate gathering is
+    # a single contiguous block gather: [G,B,8] = x,y,z,h,mass,oid,live,pad
+    fdt = pos.dtype
+    packed = jnp.concatenate([
+        pos_s, h_s[..., None], mass_s[..., None],
+        oid.astype(fdt)[..., None], live.astype(fdt)[..., None],
+        jnp.zeros((g, b, 1), fdt),
+    ], axis=-1)
+    src = _gather_blocks(packed, lists.src_idx).reshape(g, w * b, 8)
+    src_pos = src[:, :, :3]
+    src_h = src[:, :, 3]
+    src_mass = src[:, :, 4]
+    src_oid = src[:, :, 5].astype(jnp.int32)
+    src_live = src[:, :, 6] > 0.5
     src_ok = src_live & ((lists.src_idx >= 0)[:, :, None]
                          & jnp.ones((1, 1, b), bool)).reshape(g, w * b)
 
@@ -165,8 +174,10 @@ def make_passes(pos, h, mass, cfg: SimConfig, lists: GroupLists = None):
     def grad_p_fn(rho, pressure, cfg2: SimConfig):
         rho_s = rho[grp.tgt_idx].reshape(g, b)
         prs_s = pressure[grp.tgt_idx].reshape(g, b)
-        src_rho = _gather_blocks(rho_s, lists.src_idx).reshape(g, w * b)
-        src_prs = _gather_blocks(prs_s, lists.src_idx).reshape(g, w * b)
+        packed2 = jnp.stack([rho_s, prs_s], axis=-1)        # [G,B,2]
+        src2 = _gather_blocks(packed2, lists.src_idx).reshape(g, w * b, 2)
+        src_rho = src2[:, :, 0]
+        src_prs = src2[:, :, 1]
         sign_bug = cfg2.kernel_deriv_sign_bug
 
         def per_group(p_t, h_t, oid_t, rho_t, prs_t,

@@ -353,12 +353,20 @@ def evaluate(cache: TreeCache, pos, h, mass, cfg: SimConfig,
     n_groups = n_pad // bsz
 
     orig_s = cache.order_s
-    pos_ss = pos_s[orig_s]
+    # pack all per-source fields into one row so the per-group P2P lookup is
+    # ONE row gather instead of four element gathers (gathers dominate the
+    # eval cost on TPU): [S, 8] = x, y, z, mass, 1/h, gid, pad, pad
     h_ss = h_s[orig_s]
-    mass_ss = mass_s[orig_s]
+    inv_h_ss = 1.0 / jnp.where(h_ss > 0, h_ss, 1.0)
+    src_packed = jnp.concatenate([
+        pos_s[orig_s],
+        mass_s[orig_s][:, None],
+        inv_h_ss[:, None],
+        orig_s.astype(pos.dtype)[:, None],
+        jnp.zeros((s, 2), pos.dtype),
+    ], axis=-1)
     pos_t = pos[cache.tgt_idx].reshape(n_groups, bsz, 3)
     h_t = h[cache.tgt_idx].reshape(n_groups, bsz)
-    inv_h_ss = 1.0 / jnp.where(h_ss > 0, h_ss, 1.0)
 
     def eval_group(pos_g, h_g, gid_g, m2p_g, nm2p, pidx, pvalid):
         # M2P: zero-mass padded slots contribute nothing (monopole ~ m)
@@ -370,25 +378,51 @@ def evaluate(cache: TreeCache, pos, h, mass, cfg: SimConfig,
         phi = jnp.sum(ph, axis=-1)
         grad = jnp.sum(gp, axis=-2)
 
-        # P2P (reciprocal-form Dyer-Ip)
-        sidx = jnp.clip(pidx, 0, s - 1)
-        sp = pos_ss[sidx]                                    # [P,3]
-        sm = mass_ss[sidx]
-        sgid = orig_s[sidx]
-        dx2 = pos_g[:, None, :] - sp[None, :, :]             # [B,P,3]
-        r2 = jnp.sum(dx2 * dx2, axis=-1)
-        mask = pvalid[None, :] & (gid_g[:, None] != sgid[None, :])
-        m_eff = jnp.where(mask, sm[None, :], 0.0)
-        if cfg.softening_mode == "receiver_h":
-            inv_a = jnp.broadcast_to((1.0 / h_g)[:, None], r2.shape)
-        else:
-            # a = max(h_i, h_j)  <=>  1/a = min(1/h_i, 1/h_j)
-            inv_a = jnp.minimum((1.0 / h_g)[:, None], inv_h_ss[sidx][None, :])
-        gp2, ph2 = grav_ops.dyer_ip_fast(dx2, r2, m_eff, inv_a, cfg.g_const)
-        phi = phi + jnp.sum(ph2, axis=-1)
-        grad = grad + jnp.sum(gp2, axis=-2)
+        # P2P (reciprocal-form Dyer-Ip); single packed-row gather. The pair
+        # tile is accumulated in chunks over the list axis so [B,chunk,3]
+        # intermediates stay on-chip instead of spilling [B,P,3] to HBM.
+        srow = src_packed[jnp.clip(pidx, 0, s - 1)]          # [P,8]
+        p_cap = srow.shape[0]
+        chunk = min(1024, p_cap)
+        n_chunks = -(-p_cap // chunk)
+        pad = n_chunks * chunk - p_cap
+        srow_c = jnp.pad(srow, ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk, 8)
+        pvalid_c = jnp.pad(pvalid, (0, pad)).reshape(n_chunks, chunk)
+        inv_h_g = 1.0 / h_g
 
-        n_direct = jnp.sum(mask & (sm[None, :] > 0), axis=-1).astype(jnp.int32)
+        def p2p_chunk(carry, inp):
+            phi_a, grad_a, nd_a = carry
+            srw, pv = inp
+            sp = srw[:, :3]
+            sm = srw[:, 3]
+            s_inv_h = srw[:, 4]
+            sgid = srw[:, 5].astype(jnp.int32)
+            dx2 = pos_g[:, None, :] - sp[None, :, :]         # [B,chunk,3]
+            r2 = jnp.sum(dx2 * dx2, axis=-1)
+            mask = pv[None, :] & (gid_g[:, None] != sgid[None, :])
+            m_eff = jnp.where(mask, sm[None, :], 0.0)
+            if cfg.softening_mode == "receiver_h":
+                inv_a = jnp.broadcast_to(inv_h_g[:, None], r2.shape)
+            else:
+                # a = max(h_i, h_j)  <=>  1/a = min(1/h_i, 1/h_j)
+                inv_a = jnp.minimum(inv_h_g[:, None], s_inv_h[None, :])
+            gp2, ph2 = grav_ops.dyer_ip_fast(dx2, r2, m_eff, inv_a,
+                                             cfg.g_const)
+            nd = jnp.sum(mask & (sm[None, :] > 0), axis=-1)
+            return (phi_a + jnp.sum(ph2, axis=-1),
+                    grad_a + jnp.sum(gp2, axis=-2),
+                    nd_a + nd.astype(jnp.int32)), None
+
+        # nd init derives from gid_g so its sharding axes match the body's
+        # output under shard_map
+        (phi2, grad2, n_direct), _ = jax.lax.scan(
+            p2p_chunk,
+            (jnp.zeros_like(phi), jnp.zeros_like(grad),
+             jnp.zeros_like(gid_g, dtype=jnp.int32)),
+            (srow_c, pvalid_c))
+        phi = phi + phi2
+        grad = grad + grad2
         n_approx = jnp.broadcast_to(nm2p, n_direct.shape)
         return phi, grad, n_direct, n_approx
 

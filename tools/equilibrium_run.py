@@ -54,13 +54,20 @@ def main():
     ap.add_argument("--every", type=int, default=250)
     ap.add_argument("--preset", default="jupiter_3k",
                     choices=["jupiter_3k", "parity", "default"])
+    ap.add_argument("--restore", default=None,
+                    help="continue from a checkpoint (e.g. to measure drift "
+                         "in true equilibrium after the collapse transient)")
     ap.add_argument("--out", default="out")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = getattr(psph, args.preset)() if args.preset != "default" \
-        else psph.default(n=3000)
-    state = planet.prime(ics.jupiter(cfg), cfg)
+    if args.restore:
+        state, cfg, step0 = checkpoint.load(args.restore)
+        print(f"restored {args.restore} at step {step0}")
+    else:
+        cfg = getattr(psph, args.preset)() if args.preset != "default" \
+            else psph.default(n=3000)
+        state = planet.prime(ics.jupiter(cfg), cfg)
 
     n_chunks = args.steps // args.every
     t0 = time.perf_counter()
