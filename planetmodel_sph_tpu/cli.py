@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -71,7 +72,26 @@ def cmd_run(args) -> int:
     every = max(1, args.diag_every)
     n_chunks = max(1, args.steps // every)
     t0 = time.perf_counter()
-    state, diags = planet.run_with_diagnostics(state, cfg, n_chunks, every)
+    if args.render_every:
+        # frame-by-frame mode: chunked from Python so intermediate states
+        # can be rendered (the analog of watching the editor viewport)
+        os.makedirs(args.render_every_dir, exist_ok=True)
+        diags_list = []
+        frames = max(1, args.steps // args.render_every)
+        for fi in range(frames):
+            state, d = planet.run_with_diagnostics(
+                state, cfg, 1, args.render_every)
+            diags_list.append(d)
+            render.render_png(
+                state, os.path.join(args.render_every_dir,
+                                    f"frame_{fi:05d}.png"))
+        diags = {k: jax.numpy.concatenate([d[k] for d in diags_list])
+                 for k in diags_list[0]}
+        n_chunks = frames
+        every = args.render_every
+    else:
+        state, diags = planet.run_with_diagnostics(state, cfg, n_chunks,
+                                                   every)
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
     total = n_chunks * every
@@ -128,6 +148,9 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", default=None, help="save state to .npz")
     pr.add_argument("--restore", default=None, help="resume from .npz")
     pr.add_argument("--render", default=None, help="write final-state PNG")
+    pr.add_argument("--render-every", type=int, default=None,
+                    help="write a PNG frame every N steps (animation mode)")
+    pr.add_argument("--render-every-dir", default="frames")
     pr.add_argument("--metrics-jsonl", default=None)
     pr.add_argument("--debug-nans", action="store_true",
                     help="enable jax debug_nans (the purity-era analog of "

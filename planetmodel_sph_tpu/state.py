@@ -12,7 +12,6 @@ gather/scatter bridge is needed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
