@@ -8,7 +8,9 @@ parallelism over a device mesh for multi-chip scaling.
 """
 
 from . import config, state  # noqa: F401
-from .config import SimConfig, default, parity, jupiter_3k, jupiter_100k  # noqa: F401
+from .config import (  # noqa: F401
+    SimConfig, auto, default, jupiter_3k, jupiter_100k, parity,
+)
 from .state import ParticleState  # noqa: F401
 
 __version__ = "0.1.0"

@@ -24,6 +24,7 @@ from .utils import checkpoint, diagnostics, render
 
 _PRESETS = {
     "default": config_mod.default,
+    "auto": config_mod.auto,
     "parity": config_mod.parity,
     "jupiter_3k": config_mod.jupiter_3k,
     "jupiter_100k": config_mod.jupiter_100k,
@@ -66,8 +67,12 @@ def cmd_run(args) -> int:
     else:
         cfg = _build_cfg(args)
         state = _ICS[args.ic](cfg)
-        state = planet.prime(state, cfg)
         start_step = 0
+
+    if args.devices and args.devices > 1:
+        return _run_dp(args, cfg, state, start_step)
+    if not args.restore:
+        state = planet.prime(state, cfg)
 
     every = max(1, args.diag_every)
     n_chunks = max(1, args.steps // every)
@@ -120,6 +125,50 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _run_dp(args, cfg, state, start_step) -> int:
+    """Data-parallel run over a device mesh (shard_map + ICI collectives)."""
+    import jax.numpy as jnp
+    from .parallel import dp, mesh as mesh_mod
+
+    n_dev = min(args.devices, len(jax.devices()))
+    if cfg.n % n_dev:
+        _log(f"error: n={cfg.n} not divisible by {n_dev} devices")
+        return 2
+    mesh = mesh_mod.make_mesh(n_dev)
+    _log(f"dp mesh over {n_dev} device(s): {mesh}")
+    state = mesh_mod.shard_state(state, mesh)
+    state = dp.make_prime(cfg, mesh)(state)
+    runner = dp.make_run(cfg, mesh)
+
+    every = max(1, args.diag_every)
+    n_chunks = max(1, args.steps // every)
+    t0 = time.perf_counter()
+    rows = []
+    for i in range(n_chunks):
+        state = runner(state, every)
+        rows.append({k: float(v)
+                     for k, v in diagnostics.measure(state, cfg).items()})
+    jax.block_until_ready(state)
+    dt_wall = time.perf_counter() - t0
+    total = n_chunks * every
+    _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
+         f"(dp x{n_dev})")
+    for i, row in enumerate(rows):
+        step_no = start_step + (i + 1) * every
+        _log(f"step {step_no}: total_energy={row['total_energy']:.5g} "
+             f"neighbors_avg={row['neighbors_avg']:.4g}")
+        if args.metrics_jsonl:
+            with open(args.metrics_jsonl, "a") as f:
+                f.write(json.dumps({"step": step_no, **row}) + "\n")
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, jax.device_get(state), cfg,
+                        start_step + total)
+        _log(f"checkpoint -> {args.checkpoint}")
+    e = [r["total_energy"] for r in rows]
+    _log(f"energy drift: {abs(e[-1]-e[0])/abs(e[0]):.3e}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from . import bench as bench_mod
     result = bench_mod.run_bench(n=args.n, steps=args.steps,
@@ -152,6 +201,9 @@ def main(argv=None) -> int:
                     help="write a PNG frame every N steps (animation mode)")
     pr.add_argument("--render-every-dir", default="frames")
     pr.add_argument("--metrics-jsonl", default=None)
+    pr.add_argument("--devices", type=int, default=None,
+                    help="shard particles over this many devices "
+                         "(shard_map data parallelism)")
     pr.add_argument("--debug-nans", action="store_true",
                     help="enable jax debug_nans (the purity-era analog of "
                          "the reference's collections safety checks)")

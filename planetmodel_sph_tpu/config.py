@@ -163,6 +163,26 @@ def default(**kw) -> SimConfig:
     return SimConfig(**kw)
 
 
+def auto(**kw) -> SimConfig:
+    """Physically-corrected config with the pipeline picked by scale.
+
+    Measured on one v5e (docs/results/scaling.json): the exact O(N^2)
+    fused-Pallas path beats list-driven evaluation up to ~30-50k particles;
+    above that the grid+tree cached pipeline wins. Explicit
+    neighbor_mode/gravity_solver kwargs override the choice.
+    """
+    n = kw.get("n", SimConfig.n)
+    if n > 32768:
+        kw.setdefault("neighbor_mode", "grid")
+        kw.setdefault("gravity_solver", "tree")
+        kw.setdefault("rebuild_every", 8)
+        kw.setdefault("nbr_window", 96)
+    else:
+        kw.setdefault("neighbor_mode", "dense")
+        kw.setdefault("gravity_solver", "direct")
+    return SimConfig(**kw)
+
+
 def parity(**kw) -> SimConfig:
     """Behavioral parity with the reference (including its quirks).
 

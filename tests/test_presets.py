@@ -1,0 +1,38 @@
+"""Preset configuration contracts."""
+
+import planetmodel_sph_tpu as psph
+
+
+def test_auto_small_uses_dense_direct():
+    cfg = psph.auto(n=3000)
+    assert cfg.neighbor_mode == "dense" and cfg.gravity_solver == "direct"
+
+
+def test_auto_large_uses_grid_tree():
+    cfg = psph.auto(n=100000)
+    assert cfg.neighbor_mode == "grid" and cfg.gravity_solver == "tree"
+    assert cfg.rebuild_every > 1
+
+
+def test_auto_explicit_overrides():
+    cfg = psph.auto(n=100000, gravity_solver="direct",
+                    neighbor_mode="dense")
+    assert cfg.gravity_solver == "direct"
+
+
+def test_parity_flags():
+    cfg = psph.parity()
+    assert cfg.kernel_deriv_sign_bug
+    assert cfg.grad_p_mode == "reference_asymmetric"
+    assert cfg.softening_mode == "receiver_h"
+    assert cfg.integrator == "staggered_euler"
+    assert cfg.gravity_solver == "tree"
+    # the reference scene parameters (SimScene.unity:276-279)
+    assert (cfg.n, cfg.radius, cfg.total_mass, cfg.particle_radius) == \
+        (3000, 50.0, 100.0, 5.0)
+    assert cfg.dt == 0.02 and cfg.theta == 0.7 and cfg.eos_k == 1000.0
+
+
+def test_jupiter_100k_overflow_safe_knobs():
+    cfg = psph.jupiter_100k()
+    assert cfg.nbr_window >= 96  # measured n_src max 91 at this scale
