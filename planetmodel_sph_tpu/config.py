@@ -217,8 +217,8 @@ def jupiter_100k(**kw) -> SimConfig:
         n=100_000,
         gravity_solver="tree",
         neighbor_mode="grid",
-        rebuild_every=8,
-        nbr_window=96,   # measured n_src max 91 at this scale (skin incl.)
+        rebuild_every=16,  # overflow-free at this scale; K=24 overflows
+        nbr_window=96,     # measured n_src max 91 at this scale (skin incl.)
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

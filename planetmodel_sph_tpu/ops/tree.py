@@ -261,12 +261,18 @@ def build_cache(pos, h, mass, cfg: SimConfig, src=None,
         fcaps.append(max(prev, 8))
 
     def walk(glo, ghi):
-        """One group's traversal -> (m2p list, p2p particle list, overflow)."""
-        m2p = jnp.zeros((m2p_cap, 4), jnp.float32)       # cm(3) + mass
-        m2p_n = jnp.asarray(0, jnp.int32)
-        cells = jnp.zeros((cell_cap, 2), jnp.int32)      # start, count
-        cell_n = jnp.asarray(0, jnp.int32)
+        """One group's traversal -> (m2p list, p2p particle list, overflow).
+
+        Scatter-free except two end-of-walk compactions: per-level accept /
+        leaf decisions are collected as masked values and compacted ONCE,
+        and the frontier expansion is a ragged-range computation (children
+        of the code-ordered frontier are ascending disjoint ranges in the
+        next level's cell array). Generic scatters run at only ~40M rows/s
+        on this hardware, so they are the build's budget.
+        """
         front_overflow = jnp.asarray(0, jnp.int32)
+        m2p_masks, m2p_vals = [], []     # per level: [F_l], [F_l,4]
+        cell_masks, cell_vals = [], []   # per level: [F_l], [F_l,2]
 
         frontier = jnp.where(
             jnp.arange(fcaps[0], dtype=jnp.int32) < levels[0].n_cells,
@@ -289,36 +295,40 @@ def build_cache(pos, h, mass, cfg: SimConfig, src=None,
             accept = fvalid & (
                 grav_ops.accept_bmax(rmin2, bmax2, cfg.theta) | (cmass <= 0.0))
 
-            posns, m2p_n = _append(m2p_n, accept & (cmass > 0.0), m2p_cap)
-            m2p = m2p.at[posns].set(
-                jnp.concatenate([cm, cmass[:, None]], axis=-1),
-                mode="drop", indices_are_sorted=True, unique_indices=True)
+            m2p_masks.append(accept & (cmass > 0.0))
+            m2p_vals.append(jnp.concatenate([cm, cmass[:, None]], axis=-1))
 
             reject = fvalid & ~accept
             is_leaf = (li == len(levels) - 1) | (ccount <= leaf_n)
             to_p2p = reject & is_leaf
-            posns, cell_n = _append(cell_n, to_p2p, cell_cap)
-            cells = cells.at[posns].set(
-                jnp.stack([cstart, ccount], axis=-1),
-                mode="drop", indices_are_sorted=True, unique_indices=True)
+            cell_masks.append(to_p2p)
+            cell_vals.append(jnp.stack([cstart, ccount], axis=-1))
 
             if li == len(levels) - 1:
                 break
             descend = reject & ~is_leaf
             child_start = row[:, _CSTART].astype(jnp.int32)
             child_count = row[:, _CCOUNT].astype(jnp.int32)
-            cand = (child_start[:, None]
-                    + jnp.arange(8, dtype=jnp.int32)[None, :])      # [F,8]
-            cand_ok = descend[:, None] & (
-                jnp.arange(8, dtype=jnp.int32)[None, :]
-                < child_count[:, None])
+            cc_masked = jnp.where(descend, child_count, 0)
+            total_c = jnp.sum(cc_masked)
             nf = fcaps[li + 1]
-            posns, new_n = _append(jnp.asarray(0, jnp.int32),
-                                   cand_ok.reshape(-1), nf)
-            frontier = jnp.full((nf,), -1, jnp.int32).at[posns].set(
-                cand.reshape(-1),
-                mode="drop", indices_are_sorted=True, unique_indices=True)
-            front_overflow = front_overflow + jnp.maximum(new_n - nf, 0)
+            new_front, fvalid_n = _expand_ragged(child_start, cc_masked,
+                                                 total_c, nf)
+            frontier = jnp.where(fvalid_n, new_front, -1)
+            front_overflow = front_overflow + jnp.maximum(total_c - nf, 0)
+
+        # single compaction per output list across all levels
+        am = jnp.concatenate(m2p_masks)
+        av = jnp.concatenate(m2p_vals, axis=0)
+        posns, m2p_n = _append(jnp.asarray(0, jnp.int32), am, m2p_cap)
+        m2p = jnp.zeros((m2p_cap, 4), jnp.float32).at[posns].set(
+            av, mode="drop", indices_are_sorted=True, unique_indices=True)
+
+        km = jnp.concatenate(cell_masks)
+        kv = jnp.concatenate(cell_vals, axis=0)
+        posns, cell_n = _append(jnp.asarray(0, jnp.int32), km, cell_cap)
+        cells = jnp.zeros((cell_cap, 2), jnp.int32).at[posns].set(
+            kv, mode="drop", indices_are_sorted=True, unique_indices=True)
 
         cvalid = jnp.arange(cell_cap) < jnp.minimum(cell_n, cell_cap)
         counts = jnp.where(cvalid, cells[:, 1], 0)
