@@ -64,7 +64,12 @@ class SimConfig:
     # 'symmetric': momentum-conserving  a_i = -sum_j m_j (P_i/rho_i^2 +
     #   P_j/rho_j^2) gradW_sym  (standard SPH; exposed to VelocitySystem as an
     #   effective gradP_i = rho_i * sum_j ...)
-    grad_p_mode: Literal["reference_asymmetric", "symmetric"] = "symmetric"
+    # 'grad_h': Springel & Hernquist (2002) formulation — gather-form
+    #   density rho_i = sum m_j W(h_i), Omega correction factors, pairwise
+    #   force with per-particle kernels. Energy-consistent with adaptive h
+    #   (pair with h_mode='newton'). Dense neighbor mode only this round.
+    grad_p_mode: Literal["reference_asymmetric", "symmetric",
+                         "grad_h"] = "symmetric"
 
     # ---- gravity ----
     g_const: float = 1.0           # G (GravityFieldSystem.cs:26)
@@ -82,6 +87,13 @@ class SimConfig:
     # ---- adaptive smoothing length (ParticleSmoothingSystem.cs) ----
     adaptive_h: bool = True
     target_neighbors: float = 50.0  # TARGET_NEIGHBORS (:18)
+    # 'relax' : the reference's relaxation h <- h*(1+(target/N)^(1/3))/2
+    # 'newton': fixed-point solve of the consistency relation
+    #           h = eta (m/rho(h))^(1/3) each force evaluation (the
+    #           BASELINE 'adaptive-h Newton iteration' config; requires
+    #           grad_p_mode='grad_h' for consistent energy bookkeeping)
+    h_mode: Literal["relax", "newton"] = "relax"
+    h_newton_iters: int = 3
 
     # ---- neighbor search ----
     # 'dense' : masked all-pairs (exact; O(N^2) memory-light tiles)

@@ -39,6 +39,8 @@ class Forces(NamedTuple):
     n_direct: jax.Array
     n_approx: jax.Array
     accel: jax.Array
+    h: jax.Array      # smoothing length actually used (the Newton h-solve
+                      # refines it inside the force evaluation)
 
 
 def update_h(h, n_neighbors, cfg: SimConfig):
@@ -56,8 +58,17 @@ def update_h(h, n_neighbors, cfg: SimConfig):
     return jnp.where(n_neighbors > 0, h_next, h)
 
 
+def h_eta(cfg: SimConfig) -> float:
+    """eta in h = eta (m/rho)^(1/3) giving target_neighbors in radius kappa*h."""
+    return float((3.0 * cfg.target_neighbors
+                  / (4.0 * jnp.pi)) ** (1.0 / 3.0)) / cfg.kappa
+
+
 def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
     """Full field evaluation at the given positions/smoothing lengths."""
+    if cfg.grad_p_mode == "grad_h":
+        return _compute_forces_gradh(pos, h, mass, cfg)
+
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
         p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg)
@@ -82,14 +93,56 @@ def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
-    return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx, accel)
+    return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
+                  accel, h)
+
+
+def _compute_forces_gradh(pos, h, mass, cfg: SimConfig) -> Forces:
+    """Grad-h SPH (Springel & Hernquist 2002) force evaluation.
+
+    Gather-form density with Omega correction factors; optional fixed-point
+    solve of the smoothing-length consistency relation h = eta (m/rho)^(1/3)
+    (BASELINE 'adaptive-h Newton iteration' config). Dense neighbor mode
+    only this round.
+    """
+    if cfg.neighbor_mode != "dense":
+        raise NotImplementedError(
+            "grad_p_mode='grad_h' currently requires neighbor_mode='dense'")
+
+    if cfg.adaptive_h and cfg.h_mode == "newton":
+        eta = h_eta(cfg)
+        for _ in range(cfg.h_newton_iters):
+            rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
+            h = eta * jnp.cbrt(mass / rho)
+
+    rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
+    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+    grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+
+    # gravity: reuse the fused pass for the potential sums (the SPH part of
+    # that pass is discarded; acceptable at dense scales)
+    if cfg.gravity_solver == "direct":
+        g1 = dense.pass1(pos, h, mass, cfg)
+        phi, grad_phi, n_direct = g1.phi, g1.grad_phi, g1.n_direct
+    else:
+        phi = jnp.zeros_like(rho)
+        grad_phi = jnp.zeros_like(pos)
+        n_direct = jnp.zeros_like(nn)
+    n_approx = jnp.zeros_like(n_direct)
+    if cfg.gravity_solver == "tree":
+        from ..ops import tree as tree_ops
+        phi, grad_phi, n_direct, n_approx = tree_ops.gravity(pos, h, mass, cfg)
+
+    accel = -grad_p / rho[:, None] - grad_phi
+    return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
+                  accel, h)
 
 
 def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
     return state.replace(
         rho=f.rho, pressure=f.pressure, grad_p=f.grad_p, phi=f.phi,
         grad_phi=f.grad_phi, n_neighbors=f.n_neighbors,
-        n_direct=f.n_direct, n_approx=f.n_approx, accel=f.accel,
+        n_direct=f.n_direct, n_approx=f.n_approx, accel=f.accel, h=f.h,
     )
 
 
@@ -114,7 +167,7 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
-    return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+    return _apply_forces(state, f).replace(pos=pos, vel=vel)
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
@@ -129,7 +182,7 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
         else state.h
     f = forces_fn(pos, h, state.mass)
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
-    return _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+    return _apply_forces(state, f).replace(pos=pos, vel=vel)
 
 
 def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
@@ -208,7 +261,7 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree) -> Forces:
     grad_p = grad_p_fn(rho, prs, cfg)
     accel = -grad_p / rho[:, None] - grad_phi
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel)
+                  accel, h)
 
 
 def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:

@@ -144,6 +144,105 @@ def pass1(
     return Pass1Out(rho, nn, phi, grad_phi, n_direct)
 
 
+def density_gradh(pos, h, mass, cfg: SimConfig):
+    """Gather-form density + grad-h correction factor (blocked all-pairs).
+
+    The grad-h SPH formulation (Springel & Hernquist 2002) uses the
+    single-h density  rho_i = sum_j m_j W(r_ij, h_i)  (self term included)
+    and the correction factor
+        Omega_i = 1 + (h_i / (3 rho_i)) * sum_j m_j dW/dh(r_ij, h_i),
+    which makes the pairwise pressure force exactly energy-consistent with
+    adaptive smoothing lengths. Returns (rho, omega, n_neighbors).
+    """
+    n = pos.shape[0]
+    b = min(cfg.block_n, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    big = jnp.asarray(1e30, pos.dtype)
+    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
+    h_p = _pad_to(h, n_pad, 1.0)
+    h_p = jnp.where(h_p > 0, h_p, 1.0)
+    mass_p = _pad_to(mass, n_pad, 0.0)
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid_j = idx < n
+
+    def body(args):
+        pos_i, h_i, idx_i, m_i = args
+        dx = pos_i[:, None, :] - pos_p[None, :, :]
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
+        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+        w_i = kernels.w(r, h_i[:, None])
+        rho = m_i * kernels.w0(h_i) + jnp.sum(m_eff * w_i, axis=-1)
+        # self term of dW/dh: dW/dh(0,h) = -3 W(0,h)/h
+        xi = (-3.0 * m_i * kernels.w0(h_i) / h_i
+              + jnp.sum(m_eff * kernels.dw_dh(r, h_i[:, None]), axis=-1))
+        omega = 1.0 + h_i * xi / (3.0 * rho)
+        nn = jnp.sum((w_i > 0.0) & pair, axis=-1).astype(jnp.int32)
+        return rho, omega, nn
+
+    mass_t = _pad_to(mass, n_pad, 0.0)
+    out = jax.lax.map(
+        body,
+        (_block(pos_p, nb, b), _block(h_p, nb, b), _block(idx, nb, b),
+         _block(mass_t, nb, b)),
+    )
+    rho, omega, nn = jax.tree.map(lambda x: x.reshape((n_pad,))[:n], out)
+    return rho, omega, nn
+
+
+def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig):
+    """Grad-h symmetric pressure force, returned as an effective gradient.
+
+    a_i = -sum_j m_j [ P_i/(Omega_i rho_i^2) gradW_i(h_i)
+                     + P_j/(Omega_j rho_j^2) gradW_i(h_j) ]
+    exposed as gradP_i = -rho_i * a_i so dv/dt = -gradP/rho is unchanged.
+    """
+    n = pos.shape[0]
+    b = min(cfg.block_n, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    big = jnp.asarray(1e30, pos.dtype)
+    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
+    h_p = _pad_to(h, n_pad, 1.0)
+    h_p = jnp.where(h_p > 0, h_p, 1.0)
+    mass_p = _pad_to(mass, n_pad, 0.0)
+    rho_p = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
+                      _pad_to(rho, n_pad, 1.0), 1.0)
+    # robustness floor: at very low neighbor counts the discrete Omega can
+    # approach 0 (the density becomes locally non-monotone in h) and the
+    # 1/Omega force would blow up; clamping keeps the pairwise terms
+    # antisymmetric, so momentum conservation is unaffected
+    om_p = jnp.maximum(_pad_to(omega, n_pad, 1.0), 0.1)
+    prs_p = _pad_to(pressure, n_pad, 0.0)
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid_j = idx < n
+    coef_j_all = prs_p / (om_p * rho_p * rho_p)   # P_j/(Omega_j rho_j^2)
+    sign_bug = cfg.kernel_deriv_sign_bug
+
+    def body(args):
+        pos_i, h_i, idx_i, rho_i, om_i, prs_i = args
+        dx = pos_i[:, None, :] - pos_p[None, :, :]
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
+        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+        gw_i = kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
+        gw_j = kernels.dw_dr_over_r(r, h_p[None, :], sign_bug)
+        coef_i = (prs_i / (om_i * rho_i * rho_i))[:, None]
+        radial = m_eff * (coef_i * gw_i + coef_j_all[None, :] * gw_j)
+        accel = -jnp.sum(dx * radial[..., None], axis=-2)
+        return -rho_i[:, None] * accel            # effective grad P
+
+    out = jax.lax.map(
+        body,
+        (_block(pos_p, nb, b), _block(h_p, nb, b), _block(idx, nb, b),
+         _block(jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
+                          _pad_to(rho, n_pad, 1.0), 1.0), nb, b),
+         _block(om_p, nb, b), _block(prs_p, nb, b)),
+    )
+    return out.reshape((n_pad, 3))[:n]
+
+
 def pass2(
     pos, h, mass, rho, pressure, cfg: SimConfig,
     src: Optional[Tuple[jax.Array, ...]] = None,

@@ -100,6 +100,27 @@ def w_and_grad(dx, r, h, sign_bug: bool = False):
     return wv, grad
 
 
+def dw_dh(r, h):
+    """Partial derivative of W w.r.t. the smoothing length h.
+
+    For W(r,h) = f(r/h)/h^3:  dW/dh = -(3 W + r dW/dr)/h, written fully in
+    q = r/h so no branch multiplies r into a zero (r may be huge/inf for
+    padded slots and inf*0 would poison the untaken branch with NaN).
+    Used by the grad-h (Springel & Hernquist 2002) correction factors —
+    a capability beyond the reference (its adaptive-h scheme has no
+    energy-consistent correction; SURVEY.md §7 'hard parts').
+    """
+    q = r / h
+    inv_pi_h4 = 1.0 / (_PI * h * h * h * h)
+    q2 = q * q
+    # 3 f(q) + q f'(q), piecewise
+    inner = 3.0 * (1.0 - 1.5 * q2 + 0.75 * q2 * q) + (-3.0 * q2 + 2.25 * q2 * q)
+    t = 2.0 - q
+    outer = 0.75 * t * t * t - 0.75 * q * t * t
+    val = jnp.where(q < 1.0, inner, jnp.where(q < 2.0, outer, 0.0))
+    return -val * inv_pi_h4
+
+
 def interacts(r2, h_i, h_j, kappa: float = KAPPA):
     """Pair predicate from ``SplineKernel.Interacts`` (:47-53).
 

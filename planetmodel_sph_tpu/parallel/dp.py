@@ -68,7 +68,7 @@ def _dp_forces(cfg: SimConfig, axis: str):
 
         accel = -grad_p / rho[:, None] - grad_phi
         return planet.Forces(rho, prs, grad_p, phi, grad_phi, nn,
-                             n_direct, n_approx, accel)
+                             n_direct, n_approx, accel, h)
 
     return forces
 
