@@ -145,6 +145,13 @@ class SimConfig:
     rebuild_every: int = 1
     skin_safety: float = 2.0
 
+    # ---- artificial viscosity (Monaghan 1992; new capability) ----
+    # alpha=0 disables (the reference has no shock treatment). Typical
+    # shock-capturing values: alpha=1, beta=2. Dense neighbor mode only
+    # this round.
+    av_alpha: float = 0.0
+    av_beta: float = 0.0
+
     # ---- debug toggles ----
     # parity with the reference's DISABLE_VELOCITY_SYSTEM define
     # (VelocitySystem.cs:1): fields are computed but the SPH/gravity

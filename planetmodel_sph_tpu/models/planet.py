@@ -64,10 +64,14 @@ def h_eta(cfg: SimConfig) -> float:
                   / (4.0 * jnp.pi)) ** (1.0 / 3.0)) / cfg.kappa
 
 
-def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
-    """Full field evaluation at the given positions/smoothing lengths."""
+def compute_forces(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
+    """Full field evaluation at the given positions/smoothing lengths.
+
+    `vel` is required only when artificial viscosity is enabled
+    (cfg.av_alpha > 0).
+    """
     if cfg.grad_p_mode == "grad_h":
-        return _compute_forces_gradh(pos, h, mass, cfg)
+        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel)
 
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
@@ -93,11 +97,25 @@ def compute_forces(pos, h, mass, cfg: SimConfig) -> Forces:
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
+    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h)
 
 
-def _compute_forces_gradh(pos, h, mass, cfg: SimConfig) -> Forces:
+def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
+    """Optional Monaghan artificial-viscosity acceleration (flag-gated)."""
+    if cfg.av_alpha <= 0.0:
+        return jnp.zeros_like(pos)
+    if cfg.neighbor_mode != "dense":
+        raise NotImplementedError(
+            "artificial viscosity currently requires neighbor_mode='dense'")
+    if vel is None:
+        raise ValueError("artificial viscosity needs velocities; pass "
+                         "vel= to compute_forces")
+    return dense.viscosity_accel(pos, vel, h, mass, rho, cfg)
+
+
+def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
     """Grad-h SPH (Springel & Hernquist 2002) force evaluation.
 
     Gather-form density with Omega correction factors; optional fixed-point
@@ -134,6 +152,7 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig) -> Forces:
         phi, grad_phi, n_direct, n_approx = tree_ops.gravity(pos, h, mass, cfg)
 
     accel = -grad_p / rho[:, None] - grad_phi
+    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h)
 
@@ -147,13 +166,16 @@ def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
 
 
 def _default_forces(cfg: SimConfig):
-    return lambda pos, h, mass: compute_forces(pos, h, mass, cfg)
+    def fn(pos, h, mass, vel=None):
+        return compute_forces(pos, h, mass, cfg, vel=vel)
+    return fn
 
 
 def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
     """Evaluate forces once at the initial state (fills accel for KDK)."""
     forces_fn = forces_fn or _default_forces(cfg)
-    return _apply_forces(state, forces_fn(state.pos, state.h, state.mass))
+    return _apply_forces(state, forces_fn(state.pos, state.h, state.mass,
+                                          vel=state.vel))
 
 
 def step_staggered(state: ParticleState, cfg: SimConfig,
@@ -163,7 +185,7 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     dt = jnp.asarray(cfg.dt, state.pos.dtype)
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
-    f = forces_fn(state.pos, h, state.mass)
+    f = forces_fn(state.pos, h, state.mass, vel=state.vel)
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
@@ -180,7 +202,7 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
     pos = state.pos + dt * v_half
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
-    f = forces_fn(pos, h, state.mass)
+    f = forces_fn(pos, h, state.mass, vel=v_half)
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     return _apply_forces(state, f).replace(pos=pos, vel=vel)
 
@@ -236,7 +258,8 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
     return nbr, tree
 
 
-def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree) -> Forces:
+def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
+                   vel=None) -> Forces:
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
         p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg, lists=nbr)
@@ -260,6 +283,7 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree) -> Forces:
     prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
     grad_p = grad_p_fn(rho, prs, cfg)
     accel = -grad_p / rho[:, None] - grad_phi
+    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h)
 
@@ -269,7 +293,8 @@ def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     :func:`prime`)."""
     nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
                               cfg, accel=state.accel)
-    f = _forces_cached(state.pos, state.h, state.mass, cfg, nbr, tree)
+    f = _forces_cached(state.pos, state.h, state.mass, cfg, nbr, tree,
+                       vel=state.vel)
     return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32),
                  nbr, tree)
 
@@ -306,7 +331,8 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
         return carry.nbr, carry.tree
 
     nbr, tree = jax.lax.cond(rebuild, do_build, keep, None)
-    f = _forces_cached(eval_pos, h, state.mass, cfg, nbr, tree)
+    f = _forces_cached(eval_pos, h, state.mass, cfg, nbr, tree,
+                       vel=state.vel)
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
@@ -331,7 +357,8 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig,
         state = state.replace(h=update_h(state.h, state.n_neighbors, cfg))
     nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
                               cfg, accel=state.accel)
-    forces_fn = lambda p, hh, m: _forces_cached(p, hh, m, cfg, nbr, tree)
+    forces_fn = lambda p, hh, m, vel=None: _forces_cached(
+        p, hh, m, cfg, nbr, tree, vel=vel)
     info = {
         "nbr_overflow": (nbr.overflow if cfg.neighbor_mode == "grid"
                          else jnp.asarray(0, jnp.int32)),

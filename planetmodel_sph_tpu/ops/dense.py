@@ -243,6 +243,64 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig):
     return out.reshape((n_pad, 3))[:n]
 
 
+def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig):
+    """Monaghan (1992) artificial-viscosity acceleration (blocked all-pairs).
+
+    Pi_ij = (-alpha cbar mu + beta mu^2)/rhobar for approaching pairs,
+    mu = hbar (v_ij . x_ij) / (r^2 + 0.01 hbar^2);  a_i -= sum m_j Pi grad W_sym.
+
+    New capability beyond the reference (it handles no shocks); with the
+    barotropic EOS there is no thermal feedback, so AV acts as a bounded
+    momentum-conserving dissipation channel (flag-gated, av_alpha=0 off).
+    """
+    from . import eos as eos_ops
+
+    n = pos.shape[0]
+    b = min(cfg.block_n, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    big = jnp.asarray(1e15, pos.dtype)
+    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
+    vel_p = _pad_to(vel, n_pad, 0.0)
+    h_p = jnp.where(_pad_to(h, n_pad, 1.0) > 0, _pad_to(h, n_pad, 1.0), 1.0)
+    mass_p = _pad_to(mass, n_pad, 0.0)
+    rho_p = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
+                      _pad_to(rho, n_pad, 1.0), 1.0)
+    cs_p = eos_ops.sound_speed(rho_p, cfg.eos_k, cfg.eos_gamma)
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid_j = idx < n
+    sign_bug = cfg.kernel_deriv_sign_bug
+
+    def body(args):
+        pos_i, vel_i, h_i, idx_i, rho_i, cs_i = args
+        dx = pos_i[:, None, :] - pos_p[None, :, :]
+        dv = vel_i[:, None, :] - vel_p[None, :, :]
+        r2 = jnp.sum(dx * dx, axis=-1)
+        vdotr = jnp.sum(dv * dx, axis=-1)
+        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
+        approaching = pair & (vdotr < 0.0)
+        hbar = 0.5 * (h_i[:, None] + h_p[None, :])
+        mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
+        cbar = 0.5 * (cs_i[:, None] + cs_p[None, :])
+        rhobar = 0.5 * (rho_i[:, None] + rho_p[None, :])
+        pi_ij = jnp.where(
+            approaching,
+            (-cfg.av_alpha * cbar * mu + cfg.av_beta * mu * mu) / rhobar,
+            0.0)
+        r = jnp.sqrt(r2)
+        gsym = 0.5 * (kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
+                      + kernels.dw_dr_over_r(r, h_p[None, :], sign_bug))
+        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+        return -jnp.sum(dx * (m_eff * pi_ij * gsym)[..., None], axis=-2)
+
+    out = jax.lax.map(
+        body,
+        (_block(pos_p, nb, b), _block(vel_p, nb, b), _block(h_p, nb, b),
+         _block(idx, nb, b), _block(rho_p, nb, b), _block(cs_p, nb, b)),
+    )
+    return out.reshape((n_pad, 3))[:n]
+
+
 def pass2(
     pos, h, mass, rho, pressure, cfg: SimConfig,
     src: Optional[Tuple[jax.Array, ...]] = None,

@@ -38,7 +38,7 @@ from .mesh import DP_AXIS
 def _dp_forces(cfg: SimConfig, axis: str):
     """Forces closure running inside shard_map: local targets, global sources."""
 
-    def forces(pos, h, mass):
+    def forces(pos, h, mass, vel=None):
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
         pos_g = jax.lax.all_gather(pos, axis, tiled=True)

@@ -63,6 +63,13 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
         "h_avg": jnp.mean(state.h),
         "vel_max": jnp.sqrt(jnp.max(v2)),
     }
+    # CFL diagnostic (new capability): the stable timestep bound
+    # dt < C h / (c_s + |v|); the reference runs blind at fixed dt=0.02
+    cs = eos_ops.sound_speed(state.rho, cfg.eos_k, cfg.eos_gamma)
+    dt_cfl = state.h / (cs + jnp.sqrt(v2) + 1e-30)
+    out["dt_cfl_min"] = jnp.min(dt_cfl)
+    out["cfl_number"] = cfg.dt / jnp.maximum(jnp.min(dt_cfl), 1e-30)
+
     out.update(stats(state.rho, "rho"))
     out.update(stats(state.pressure, "pressure"))
     out.update(stats(state.phi, "phi"))
