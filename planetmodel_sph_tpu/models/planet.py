@@ -331,8 +331,10 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
         return carry.nbr, carry.tree
 
     nbr, tree = jax.lax.cond(rebuild, do_build, keep, None)
+    # KDK evaluates forces at the post-drift position with the half-step
+    # velocity (matching step_kdk); staggered uses the pre-step velocity
     f = _forces_cached(eval_pos, h, state.mass, cfg, nbr, tree,
-                       vel=state.vel)
+                       vel=state.vel if v_half is None else v_half)
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt

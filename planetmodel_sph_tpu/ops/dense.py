@@ -269,7 +269,11 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig):
     cs_p = eos_ops.sound_speed(rho_p, cfg.eos_k, cfg.eos_gamma)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     valid_j = idx < n
-    sign_bug = cfg.kernel_deriv_sign_bug
+    # AV is a beyond-reference capability: always use the CORRECT kernel
+    # derivative. With the parity sign bug the q<1 gradient flips and AV
+    # would accelerate approaching pairs (inject energy) instead of
+    # dissipating.
+    sign_bug = False
 
     def body(args):
         pos_i, vel_i, h_i, idx_i, rho_i, cs_i = args

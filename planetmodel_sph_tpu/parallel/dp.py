@@ -39,6 +39,10 @@ def _dp_forces(cfg: SimConfig, axis: str):
     """Forces closure running inside shard_map: local targets, global sources."""
 
     def forces(pos, h, mass, vel=None):
+        if cfg.av_alpha > 0.0:
+            raise NotImplementedError(
+                "artificial viscosity is not wired into the dp path yet; "
+                "it would be silently dropped")
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
         pos_g = jax.lax.all_gather(pos, axis, tiled=True)

@@ -55,6 +55,16 @@ def test_av_damps_collision():
     assert ke_after(on) < ke_after(off)
 
 
+def test_av_dissipates_even_with_parity_sign_bug():
+    # the parity kernel-derivative bug must NOT leak into AV (it would flip
+    # the q<1 gradient and make AV inject energy into approaching pairs)
+    cfg = cfg_av(gravity_solver="none", kernel_deriv_sign_bug=True)
+    st = ics.two_planet_collision(cfg, separation=18.0, approach_speed=4.0)
+    visc = dense.viscosity_accel(st.pos, st.vel, st.h, st.mass, st.rho, cfg)
+    power = float(jnp.sum(st.mass[:, None] * visc * st.vel))
+    assert power < 0.0
+
+
 def test_av_receding_pairs_unaffected():
     cfg = cfg_av(gravity_solver="none")
     st = ics.jupiter(cfg)
