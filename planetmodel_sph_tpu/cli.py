@@ -72,7 +72,9 @@ def cmd_run(args) -> int:
     if args.devices and args.devices > 1:
         return _run_dp(args, cfg, state, start_step)
     if not args.restore:
-        state = planet.prime(state, cfg)
+        # jit: the eager per-op path materializes unfused broadcast tiles
+        # (OOM at 100k)
+        state = jax.jit(lambda s: planet.prime(s, cfg))(state)
 
     every = max(1, args.diag_every)
     n_chunks = max(1, args.steps // every)

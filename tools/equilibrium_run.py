@@ -67,7 +67,8 @@ def main():
     else:
         cfg = getattr(psph, args.preset)() if args.preset != "default" \
             else psph.default(n=3000)
-        state = planet.prime(ics.jupiter(cfg), cfg)
+        import jax
+        state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
 
     n_chunks = args.steps // args.every
     t0 = time.perf_counter()
