@@ -196,8 +196,10 @@ def main(argv=None) -> int:
     pr.add_argument("--gravity", choices=("direct", "tree", "none"),
                     default=None)
     pr.add_argument("--neighbor", choices=("dense", "grid"), default=None)
-    pr.add_argument("--checkpoint", default=None, help="save state to .npz")
-    pr.add_argument("--restore", default=None, help="resume from .npz")
+    pr.add_argument("--checkpoint", default=None,
+                    help="save state (.psph = native async binary, else npz)")
+    pr.add_argument("--restore", default=None,
+                    help="resume from a checkpoint (auto-detects format)")
     pr.add_argument("--render", default=None, help="write final-state PNG")
     pr.add_argument("--render-every", type=int, default=None,
                     help="write a PNG frame every N steps (animation mode)")
