@@ -346,9 +346,11 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     return Carry(new_state, tick + 1, nbr, tree)
 
 
-def run_chunk_cached(state: ParticleState, cfg: SimConfig,
-                     k: int) -> ParticleState:
+def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
     """Rebuild structures once, then advance k fixed-structure steps.
+
+    Returns (state, info) where info carries the structure overflow
+    counters from the rebuild.
 
     The adaptive-h relaxation is applied once at the chunk boundary so
     support radii cannot outgrow the cached cutoffs; the skin margin covers

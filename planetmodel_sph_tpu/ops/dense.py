@@ -73,7 +73,7 @@ def _prep_targets(pos, h, cfg, target_offset):
     return n, b, nb, n_pad, pos_t, h_t, gidx
 
 
-def _prep_sources(src_arrays, dtype):
+def _prep_sources(src_arrays):
     pos_s, h_s, mass_s = src_arrays[:3]
     h_s = jnp.where(h_s > 0, h_s, 1.0)
     return (pos_s, h_s, mass_s) + tuple(src_arrays[3:])
@@ -96,7 +96,7 @@ def pass1(
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
     if src is None:
         src = (pos, h, mass)
-    pos_s, h_s, mass_s = _prep_sources(src, pos.dtype)
+    pos_s, h_s, mass_s = _prep_sources(src)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
     src_live = mass_s > 0.0
     mass_t = _pad_to(mass, n_pad, 0.0)
@@ -323,7 +323,7 @@ def pass2(
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
     if src is None:
         src = (pos, h, mass, rho, pressure)
-    pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src, pos.dtype)
+    pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src)
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
     src_live = mass_s > 0.0
