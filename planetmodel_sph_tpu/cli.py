@@ -51,6 +51,9 @@ def _build_cfg(args) -> config_mod.SimConfig:
         kw["neighbor_mode"] = args.neighbor
     if getattr(args, "freeze_velocity", False):
         kw["freeze_velocity"] = True
+    if getattr(args, "av", None):
+        kw["av_alpha"] = args.av
+        kw["av_beta"] = 2.0 * args.av
     return _PRESETS[args.preset](**kw)
 
 
@@ -211,6 +214,9 @@ def main(argv=None) -> int:
     pr.add_argument("--debug-nans", action="store_true",
                     help="enable jax debug_nans (the purity-era analog of "
                          "the reference's collections safety checks)")
+    pr.add_argument("--av", type=float, default=None, metavar="ALPHA",
+                    help="enable Monaghan artificial viscosity with this "
+                         "alpha (beta=2*alpha); dense pipeline only")
     pr.add_argument("--freeze-velocity", action="store_true",
                     help="parity with DISABLE_VELOCITY_SYSTEM: compute "
                          "fields but never apply accelerations")
