@@ -37,6 +37,12 @@ _ICS = {
 }
 
 
+def _make_ic(args, cfg):
+    if args.ic == "rotating_planet":
+        return ics.rotating_planet(cfg, omega=args.omega)
+    return _ICS[args.ic](cfg)
+
+
 def _build_cfg(args) -> config_mod.SimConfig:
     kw = {}
     for name in ("n", "seed", "dt"):
@@ -69,7 +75,7 @@ def cmd_run(args) -> int:
         _log(f"restored {args.restore} at step {start_step} (n={cfg.n})")
     else:
         cfg = _build_cfg(args)
-        state = _ICS[args.ic](cfg)
+        state = _make_ic(args, cfg)
         start_step = 0
 
     if args.devices and args.devices > 1:
@@ -214,6 +220,8 @@ def main(argv=None) -> int:
     pr.add_argument("--debug-nans", action="store_true",
                     help="enable jax debug_nans (the purity-era analog of "
                          "the reference's collections safety checks)")
+    pr.add_argument("--omega", type=float, default=0.05,
+                    help="solid-body angular velocity for rotating_planet")
     pr.add_argument("--av", type=float, default=None, metavar="ALPHA",
                     help="enable Monaghan artificial viscosity with this "
                          "alpha (beta=2*alpha); dense pipeline only")

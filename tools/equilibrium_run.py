@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--every", type=int, default=250)
     ap.add_argument("--preset", default="jupiter_3k",
-                    choices=["jupiter_3k", "parity", "default"])
+                    choices=["jupiter_3k", "parity", "default", "gradh"])
     ap.add_argument("--restore", default=None,
                     help="continue from a checkpoint (e.g. to measure drift "
                          "in true equilibrium after the collapse transient)")
@@ -65,8 +65,13 @@ def main():
         state, cfg, step0 = checkpoint.load(args.restore)
         print(f"restored {args.restore} at step {step0}")
     else:
-        cfg = getattr(psph, args.preset)() if args.preset != "default" \
-            else psph.default(n=3000)
+        if args.preset == "gradh":
+            # energy-consistent adaptive-h configuration (grad-h + Newton)
+            cfg = psph.default(n=3000, grad_p_mode="grad_h", h_mode="newton")
+        elif args.preset == "default":
+            cfg = psph.default(n=3000)
+        else:
+            cfg = getattr(psph, args.preset)()
         import jax
         state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
 
