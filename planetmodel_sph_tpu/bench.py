@@ -27,8 +27,8 @@ def _force(state):
     return state
 
 
-def run_bench(n: int = 3000, steps: int = 200, preset: str = "jupiter_3k",
-              warmup_steps: int = 10) -> dict:
+def run_bench(n: int = 3000, steps: int = 200,
+              preset: str = "jupiter_3k") -> dict:
     preset_fn = getattr(config_mod, preset)
     cfg = preset_fn(n=n) if n else preset_fn()
 

@@ -85,8 +85,11 @@ def cmd_run(args) -> int:
         # (OOM at 100k)
         state = jax.jit(lambda s: planet.prime(s, cfg))(state)
 
-    every = max(1, args.diag_every)
+    # run exactly --steps: clamp the chunk to the request and push any
+    # remainder through an extra (undiagnosed) tail run
+    every = max(1, min(args.diag_every, args.steps))
     n_chunks = max(1, args.steps // every)
+    rem = args.steps - n_chunks * every
     t0 = time.perf_counter()
     if args.render_every:
         # frame-by-frame mode: chunked from Python so intermediate states
@@ -108,9 +111,11 @@ def cmd_run(args) -> int:
     else:
         state, diags = planet.run_with_diagnostics(state, cfg, n_chunks,
                                                    every)
+        if rem:
+            state = planet.run(state, cfg, rem)
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
-    total = n_chunks * every
+    total = n_chunks * every + (rem if not args.render_every else 0)
     _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
          f"({cfg.n*total/dt_wall:.3g} particle-steps/s)")
 

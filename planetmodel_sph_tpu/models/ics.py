@@ -90,12 +90,17 @@ def two_planet_collision(
 ) -> ParticleState:
     """Two Jupiter-like planets on a collision course (BASELINE config 4).
 
-    Each planet gets n/2 particles, half the total mass, and a bulk velocity
-    of +-approach_speed/2 along x; impact_parameter offsets them along y.
+    The particles split (n+1)//2 / n//2 (so the state always has exactly
+    cfg.n particles, odd n included) with mass proportional to count and a
+    bulk velocity of +-approach_speed/2 along x; impact_parameter offsets
+    them along y.
     """
-    half = cfg.replace(n=cfg.n // 2, total_mass=cfg.total_mass / 2)
-    a = jupiter(half.replace(seed=cfg.seed))
-    b = jupiter(half.replace(seed=cfg.seed + 1))
+    n_a = (cfg.n + 1) // 2
+    n_b = cfg.n - n_a
+    a = jupiter(cfg.replace(n=n_a, total_mass=cfg.total_mass * n_a / cfg.n,
+                            seed=cfg.seed))
+    b = jupiter(cfg.replace(n=n_b, total_mass=cfg.total_mass * n_b / cfg.n,
+                            seed=cfg.seed + 1))
 
     dx = jnp.asarray([separation / 2, impact_parameter / 2, 0.0], a.pos.dtype)
     dv = jnp.asarray([approach_speed / 2, 0.0, 0.0], a.pos.dtype)

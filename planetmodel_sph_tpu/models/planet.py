@@ -260,6 +260,11 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
 
 def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
                    vel=None) -> Forces:
+    if cfg.grad_p_mode == "grad_h":
+        # grad-h is dense-only and uses no cached structures; route to the
+        # real implementation rather than silently computing the symmetric
+        # force law
+        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel)
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
         p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg, lists=nbr)
@@ -316,7 +321,8 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     if cfg.integrator == "staggered_euler":
         eval_pos, v_half = state.pos, None
     else:
-        v_half = state.vel + 0.5 * dt * state.accel
+        v_half = state.vel if cfg.freeze_velocity \
+            else state.vel + 0.5 * dt * state.accel
         eval_pos = state.pos + dt * v_half
 
     # adaptive h only at rebuild steps (support must not outgrow the lists)
@@ -338,10 +344,10 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
-        vel = state.vel + f.accel * dt
+        vel = state.vel if cfg.freeze_velocity else state.vel + f.accel * dt
     else:
         pos = eval_pos
-        vel = v_half + 0.5 * dt * f.accel
+        vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     new_state = _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
     return Carry(new_state, tick + 1, nbr, tree)
 

@@ -83,7 +83,7 @@ def build(pos, h, cfg: SimConfig, skin=0.0) -> GroupLists:
     cols = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[None, :], (g, g))
     src_idx = jax.vmap(
         lambda p, c: jnp.full((w,), -1, jnp.int32).at[p].set(
-            c, mode="drop", indices_are_sorted=True, unique_indices=True)
+            c, mode="drop")
     )(posns, cols)
     n_src = jnp.sum(adj, axis=1).astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(n_src - w, 0))

@@ -322,13 +322,13 @@ def build_cache(pos, h, mass, cfg: SimConfig, src=None,
         av = jnp.concatenate(m2p_vals, axis=0)
         posns, m2p_n = _append(jnp.asarray(0, jnp.int32), am, m2p_cap)
         m2p = jnp.zeros((m2p_cap, 4), jnp.float32).at[posns].set(
-            av, mode="drop", indices_are_sorted=True, unique_indices=True)
+            av, mode="drop")
 
         km = jnp.concatenate(cell_masks)
         kv = jnp.concatenate(cell_vals, axis=0)
         posns, cell_n = _append(jnp.asarray(0, jnp.int32), km, cell_cap)
         cells = jnp.zeros((cell_cap, 2), jnp.int32).at[posns].set(
-            kv, mode="drop", indices_are_sorted=True, unique_indices=True)
+            kv, mode="drop")
 
         cvalid = jnp.arange(cell_cap) < jnp.minimum(cell_n, cell_cap)
         counts = jnp.where(cvalid, cells[:, 1], 0)

@@ -39,6 +39,10 @@ def _dp_forces(cfg: SimConfig, axis: str):
     """Forces closure running inside shard_map: local targets, global sources."""
 
     def forces(pos, h, mass, vel=None):
+        if cfg.grad_p_mode == "grad_h":
+            raise NotImplementedError(
+                "grad_p_mode='grad_h' is not wired into the dp path yet; "
+                "it would silently fall back to the symmetric force law")
         if cfg.av_alpha > 0.0:
             raise NotImplementedError(
                 "artificial viscosity is not wired into the dp path yet; "

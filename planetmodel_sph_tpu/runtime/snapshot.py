@@ -44,7 +44,10 @@ def save(path: str, state: ParticleState, cfg: SimConfig, step: int = 0):
         rc = lib.psph_writer_write(
             w, a.ctypes.data_as(ctypes.c_void_p), a.nbytes)
         ok = ok and rc == 0
-    return ok and lib.psph_writer_close(w) == 0
+    # close unconditionally (joins the flush thread and releases the FILE*
+    # even after a failed frame, so a fallback writer can't interleave)
+    rc_close = lib.psph_writer_close(w)
+    return ok and rc_close == 0
 
 
 def load(path: str):

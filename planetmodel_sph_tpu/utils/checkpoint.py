@@ -31,13 +31,16 @@ def save(path: str, state: ParticleState, cfg: SimConfig, step: int = 0) -> None
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(state)
     }
-    np.savez(
-        path,
-        __config__=np.frombuffer(
-            json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
-        __step__=np.asarray(step, np.int64),
-        **arrays,
-    )
+    # write through a file object: np.savez(path) appends '.npz' to paths
+    # lacking the suffix, silently breaking save/restore at the stated path
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            __config__=np.frombuffer(
+                json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
+            __step__=np.asarray(step, np.int64),
+            **arrays,
+        )
 
 
 def load(path: str):

@@ -61,6 +61,7 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
+    step0 = 0
     if args.restore:
         state, cfg, step0 = checkpoint.load(args.restore)
         print(f"restored {args.restore} at step {step0}")
@@ -75,13 +76,13 @@ def main():
         import jax
         state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
 
-    n_chunks = args.steps // args.every
+    every = max(1, min(args.every, args.steps))
+    n_chunks = max(1, args.steps // every)
     t0 = time.perf_counter()
-    state, diags = planet.run_with_diagnostics(state, cfg, n_chunks,
-                                               args.every)
+    state, diags = planet.run_with_diagnostics(state, cfg, n_chunks, every)
     e = float(np.asarray(diags["total_energy"])[-1])  # forces completion
     wall = time.perf_counter() - t0
-    total = n_chunks * args.every
+    total = n_chunks * every
     print(f"{total} steps in {wall:.1f}s = {total/wall:.1f} steps/s "
           f"({cfg.n*total/wall:.3g} particle-steps/s)")
 
@@ -96,10 +97,10 @@ def main():
     np.savez(os.path.join(args.out, "equilibrium_diags.npz"),
              **{k: np.asarray(v) for k, v in diags.items()})
     checkpoint.save(os.path.join(args.out, "equilibrium_state.psph"),
-                    state, cfg, total)
+                    state, cfg, step0 + total)
     render.render_png(state, os.path.join(args.out, "equilibrium.png"))
     with open(os.path.join(args.out, "profile.json"), "w") as f:
-        json.dump({"preset": args.preset, "steps": total,
+        json.dump({"preset": args.preset, "steps": step0 + total,
                    "energy_drift": float(drift[-1]),
                    "profile": radial_profile(state)}, f, indent=1)
     print(f"artifacts -> {args.out}/")
