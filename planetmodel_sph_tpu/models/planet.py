@@ -115,27 +115,36 @@ def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
     return dense.viscosity_accel(pos, vel, h, mass, rho, cfg)
 
 
-def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
+def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
+                          nbr=None) -> Forces:
     """Grad-h SPH (Springel & Hernquist 2002) force evaluation.
 
     Gather-form density with Omega correction factors; optional fixed-point
     solve of the smoothing-length consistency relation h = eta (m/rho)^(1/3)
-    (BASELINE 'adaptive-h Newton iteration' config). Dense neighbor mode
-    only this round.
+    (BASELINE 'adaptive-h Newton iteration' config; dense mode only — the
+    grid path supports grad-h with the relaxation h update, whose per-step
+    h changes stay inside the adjacency cutoffs).
     """
-    if cfg.neighbor_mode != "dense":
-        raise NotImplementedError(
-            "grad_p_mode='grad_h' currently requires neighbor_mode='dense'")
+    if cfg.neighbor_mode == "grid":
+        if cfg.adaptive_h and cfg.h_mode == "newton":
+            raise NotImplementedError(
+                "h_mode='newton' requires neighbor_mode='dense' (the "
+                "fixed-point h updates would outgrow the adjacency lists)")
+        from ..ops import neighbors as nbr_ops
+        (rho, omega, nn), gfn = nbr_ops.make_passes(pos, h, mass, cfg,
+                                                    lists=nbr)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        grad_p = gfn(rho, omega, prs, cfg)
+    else:
+        if cfg.adaptive_h and cfg.h_mode == "newton":
+            eta = h_eta(cfg)
+            for _ in range(cfg.h_newton_iters):
+                rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
+                h = eta * jnp.cbrt(mass / rho)
 
-    if cfg.adaptive_h and cfg.h_mode == "newton":
-        eta = h_eta(cfg)
-        for _ in range(cfg.h_newton_iters):
-            rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
-            h = eta * jnp.cbrt(mass / rho)
-
-    rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-    grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+        rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
 
     # gravity: reuse the fused pass for the potential sums (the SPH part of
     # that pass is discarded; acceptable at dense scales)
@@ -261,10 +270,11 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
 def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
                    vel=None) -> Forces:
     if cfg.grad_p_mode == "grad_h":
-        # grad-h is dense-only and uses no cached structures; route to the
-        # real implementation rather than silently computing the symmetric
-        # force law
-        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel)
+        # route to the real implementation rather than silently computing
+        # the symmetric force law; the grid variant reuses the cached lists
+        return _compute_forces_gradh(
+            pos, h, mass, cfg, vel=vel,
+            nbr=nbr if cfg.neighbor_mode == "grid" else None)
     if cfg.neighbor_mode == "grid":
         from ..ops import neighbors as nbr_ops
         p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg, lists=nbr)

@@ -171,6 +171,60 @@ def make_passes(pos, h, mass, cfg: SimConfig, lists: GroupLists = None):
         zi = jnp.zeros((n,), jnp.int32)
         return Pass1Out(rho, nn, z1, z3, zi)
 
+    def pass1_gradh():
+        """Gather-form density + grad-h Omega factor (see dense.density_gradh)."""
+        def per_group(p_t, h_t, m_t, oid_t, p_s, h_sv, m_s, oid_s, ok_s):
+            dx = p_t[:, None, :] - p_s[None, :, :]
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+            pair = ok_s[None, :] & (oid_t[:, None] != oid_s[None, :])
+            m_eff = jnp.where(pair, m_s[None, :], 0.0)
+            w_i = kernels.w(r, h_t[:, None])
+            rho = m_t * kernels.w0(h_t) + jnp.sum(m_eff * w_i, axis=-1)
+            xi = (-3.0 * m_t * kernels.w0(h_t) / h_t
+                  + jnp.sum(m_eff * kernels.dw_dh(r, h_t[:, None]), axis=-1))
+            omega = 1.0 + h_t * xi / (3.0 * rho)
+            nn = jnp.sum((w_i > 0.0) & pair, axis=-1).astype(jnp.int32)
+            return rho, omega, nn
+
+        rho_g, om_g, nn_g = jax.vmap(per_group)(
+            pos_s, h_s, mass_s, oid, src_pos, src_h, src_mass,
+            src_oid, src_ok)
+        rho = jnp.zeros((n,), pos.dtype).at[grp.scatter_to].set(
+            rho_g.reshape(gb), mode="drop")
+        omega = jnp.ones((n,), pos.dtype).at[grp.scatter_to].set(
+            om_g.reshape(gb), mode="drop")
+        nn = jnp.zeros((n,), jnp.int32).at[grp.scatter_to].set(
+            nn_g.reshape(gb), mode="drop")
+        return rho, omega, nn
+
+    def grad_p_fn_gradh(rho, omega, pressure, cfg2: SimConfig):
+        """Grad-h pairwise force (see dense.pass2_gradh); effective grad P."""
+        om_safe = jnp.maximum(omega, 0.1)
+        coef = pressure / (om_safe * rho * rho)    # P/(Omega rho^2), [N]
+        rho_s = rho[grp.tgt_idx].reshape(g, b)
+        coef_s = coef[grp.tgt_idx].reshape(g, b)
+        src_coef = _gather_blocks(coef_s, lists.src_idx).reshape(g, w * b)
+        sign_bug = cfg2.kernel_deriv_sign_bug
+
+        def per_group(p_t, h_t, oid_t, rho_t, coef_t,
+                      p_s, h_sv, m_s, oid_s, ok_s, coef_sv):
+            dx = p_t[:, None, :] - p_s[None, :, :]
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+            pair = ok_s[None, :] & (oid_t[:, None] != oid_s[None, :])
+            m_eff = jnp.where(pair, m_s[None, :], 0.0)
+            gw_i = kernels.dw_dr_over_r(r, h_t[:, None], sign_bug)
+            gw_j = kernels.dw_dr_over_r(r, h_sv[None, :], sign_bug)
+            radial = m_eff * (coef_t[:, None] * gw_i
+                              + coef_sv[None, :] * gw_j)
+            accel = -jnp.sum(dx * radial[..., None], axis=-2)
+            return -rho_t[:, None] * accel         # effective grad P
+
+        gp_g = jax.vmap(per_group)(
+            pos_s, h_s, oid, rho_s, coef_s,
+            src_pos, src_h, src_mass, src_oid, src_ok, src_coef)
+        return jnp.zeros((n, 3), pos.dtype).at[grp.scatter_to].set(
+            gp_g.reshape(gb, 3), mode="drop")
+
     def grad_p_fn(rho, pressure, cfg2: SimConfig):
         rho_s = rho[grp.tgt_idx].reshape(g, b)
         prs_s = pressure[grp.tgt_idx].reshape(g, b)
@@ -206,4 +260,6 @@ def make_passes(pos, h, mass, cfg: SimConfig, lists: GroupLists = None):
         return jnp.zeros((n, 3), pos.dtype).at[grp.scatter_to].set(
             gp_g.reshape(gb, 3), mode="drop")
 
+    if cfg.grad_p_mode == "grad_h":
+        return pass1_gradh(), grad_p_fn_gradh
     return pass1(), grad_p_fn

@@ -105,9 +105,34 @@ def test_gradh_newton_energy_conservation_beats_relax():
     assert d_gradh < 0.02
 
 
-def test_gradh_rejects_grid_mode():
+def test_gradh_grid_matches_dense():
+    dense_cfg = base_cfg(grad_p_mode="grad_h", gravity_solver="none",
+                         h_mode="relax")
+    grid_cfg = base_cfg(grad_p_mode="grad_h", gravity_solver="none",
+                        h_mode="relax", neighbor_mode="grid")
+    st = ics.jupiter(dense_cfg)
+    a = planet.compute_forces(st.pos, st.h, st.mass, dense_cfg)
+    b = planet.compute_forces(st.pos, st.h, st.mass, grid_cfg)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b.n_neighbors),
+                                  np.asarray(a.n_neighbors))
+    np.testing.assert_allclose(np.asarray(b.grad_p), np.asarray(a.grad_p),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_gradh_grid_newton_rejected():
     cfg = base_cfg(grad_p_mode="grad_h", neighbor_mode="grid",
-                   gravity_solver="tree")
+                   gravity_solver="tree", h_mode="newton")
     st = ics.jupiter(cfg)
     with pytest.raises(NotImplementedError):
         planet.compute_forces(st.pos, st.h, st.mass, cfg)
+
+
+def test_gradh_grid_cached_runs():
+    cfg = base_cfg(grad_p_mode="grad_h", neighbor_mode="grid",
+                   gravity_solver="tree", h_mode="relax", rebuild_every=4)
+    st = ics.jupiter(cfg)
+    out = planet.run(st, cfg, 8)
+    for leaf in jax.tree.leaves(out):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
