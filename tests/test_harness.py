@@ -101,3 +101,23 @@ def test_graft_dryrun_multichip():
     finally:
         sys.path.pop(0)
     ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_multichip_clean_env():
+    """Dryrun must pass WITHOUT conftest's env scaffolding.
+
+    Round 1's driver run failed exactly here: conftest forced the CPU mesh so
+    the in-process test passed while the driver's identical call initialized
+    the session's relay TPU plugin and died on a libtpu version skew.
+    dryrun_multichip must force the virtual CPU mesh itself, so exercise it
+    in a subprocess whose env carries none of the test overrides.
+    """
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES"):
+        env.pop(k, None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout
