@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
-"""Driver benchmark: prints ONE JSON line.
+"""Driver benchmark: one JSON line per tracked config.
 
-Flagship benchmark: 3k-particle Jupiter hydrostatic-equilibrium config
-(dense exact neighbors + direct softened gravity + leapfrog), the scenario
-the reference achieves at 50 steps/s real time on a gaming laptop
-(BASELINE.md). vs_baseline = our particle-steps/s over the reference's
-150k particle-steps/s.
+Line 1 — flagship 3k-particle Jupiter hydrostatic-equilibrium config (dense
+exact neighbors + direct softened gravity + leapfrog), the scenario the
+reference achieves at 50 steps/s real time on a gaming laptop (BASELINE.md).
+vs_baseline = our particle-steps/s over the reference's 150k
+particle-steps/s.
+
+Line 2 — the BASELINE.json north-star config: jupiter_100k (grid neighbors +
+tree gravity + Verlet-cached rebuilds). vs_baseline for this row is measured
+against the north-star target rate (6M particle-steps/s = 60 steps/s at
+100k), so 1.0 means the target is met.
 """
 
 import json
@@ -13,10 +18,24 @@ import sys
 
 from planetmodel_sph_tpu.bench import run_bench
 
+NORTH_STAR_PARTICLE_STEPS_PER_SEC = 100_000 * 60.0
+
 
 def main() -> int:
     result = run_bench(n=3000, steps=200)
     print(json.dumps(result), flush=True)
+
+    try:
+        big = run_bench(n=100_000, steps=32, preset="jupiter_100k")
+        big["metric"] = "particle_steps_per_sec_n100000"
+        big["vs_baseline"] = round(
+            big["value"] / NORTH_STAR_PARTICLE_STEPS_PER_SEC, 3)
+        print(json.dumps(big), flush=True)
+    except Exception as e:  # noqa: BLE001 — the 3k headline must survive
+        print(json.dumps({"metric": "particle_steps_per_sec_n100000",
+                          "value": 0.0, "unit": "particle-steps/s",
+                          "vs_baseline": 0.0, "error": str(e)[:300]}),
+              flush=True)
     return 0
 
 

@@ -32,7 +32,9 @@ def run_bench(n: int = 3000, steps: int = 200,
     preset_fn = getattr(config_mod, preset)
     cfg = preset_fn(n=n) if n else preset_fn()
 
-    state = planet.prime(ics.jupiter(cfg), cfg)
+    # jit the priming eval: the eager per-op path materializes unfused
+    # broadcast tiles (OOM at 100k)
+    state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
     # warm up with the SAME static step count so compilation (and the scan
     # program) is fully cached before the timed region
     state = _force(planet.run(state, cfg, steps))

@@ -85,42 +85,52 @@ def cmd_run(args) -> int:
         # (OOM at 100k)
         state = jax.jit(lambda s: planet.prime(s, cfg))(state)
 
-    # run exactly --steps: clamp the chunk to the request and push any
-    # remainder through an extra (undiagnosed) tail run
-    every = max(1, min(args.diag_every, args.steps))
-    n_chunks = max(1, args.steps // every)
-    rem = args.steps - n_chunks * every
+    # run exactly --steps: full diag chunks plus a DIAGNOSED remainder chunk
     t0 = time.perf_counter()
+    diags_list = []
+    step_nos = []
+    cur = start_step
     if args.render_every:
         # frame-by-frame mode: chunked from Python so intermediate states
         # can be rendered (the analog of watching the editor viewport)
         os.makedirs(args.render_every_dir, exist_ok=True)
-        diags_list = []
-        frames = max(1, args.steps // args.render_every)
-        for fi in range(frames):
-            state, d = planet.run_with_diagnostics(
-                state, cfg, 1, args.render_every)
+        r_every = max(1, min(args.render_every, args.steps))
+        n_frames = args.steps // r_every
+        rem = args.steps - n_frames * r_every
+        for fi in range(n_frames + (1 if rem else 0)):
+            k = r_every if fi < n_frames else rem
+            state, d = planet.run_with_diagnostics(state, cfg, 1, k)
+            cur += k
             diags_list.append(d)
+            step_nos.append(cur)
             render.render_png(
                 state, os.path.join(args.render_every_dir,
                                     f"frame_{fi:05d}.png"))
-        diags = {k: jax.numpy.concatenate([d[k] for d in diags_list])
-                 for k in diags_list[0]}
-        n_chunks = frames
-        every = args.render_every
     else:
-        state, diags = planet.run_with_diagnostics(state, cfg, n_chunks,
+        every = max(1, min(args.diag_every, args.steps))
+        n_chunks = args.steps // every
+        rem = args.steps - n_chunks * every
+        if n_chunks:
+            state, d = planet.run_with_diagnostics(state, cfg, n_chunks,
                                                    every)
+            diags_list.append(d)
+            step_nos.extend(start_step + (i + 1) * every
+                            for i in range(n_chunks))
+            cur = start_step + n_chunks * every
         if rem:
-            state = planet.run(state, cfg, rem)
+            state, d = planet.run_with_diagnostics(state, cfg, 1, rem)
+            cur += rem
+            diags_list.append(d)
+            step_nos.append(cur)
+    diags = {k: jax.numpy.concatenate([d[k] for d in diags_list])
+             for k in diags_list[0]}
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
-    total = n_chunks * every + (rem if not args.render_every else 0)
+    total = cur - start_step
     _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
          f"({cfg.n*total/dt_wall:.3g} particle-steps/s)")
 
-    for i in range(n_chunks):
-        step_no = start_step + (i + 1) * every
+    for i, step_no in enumerate(step_nos):
         row = {k: float(v[i]) for k, v in sorted(diags.items())}
         keys = ("total_energy", "kinetic_energy", "rho_avg", "rho_max",
                 "neighbors_avg", "radius_rms", "momentum_mag")
@@ -136,6 +146,10 @@ def cmd_run(args) -> int:
     if args.render:
         out = render.render_png(state, args.render)
         _log(f"render -> {out}")
+    for key in ("nbr_overflow", "tree_overflow"):
+        if key in diags and float(jax.numpy.sum(diags[key])) > 0:
+            _log(f"WARNING: {key}={int(jax.numpy.sum(diags[key]))} "
+                 f"interactions dropped — raise the corresponding capacity")
     drift = diagnostics.energy_drift(diags)
     _log(f"energy drift: {float(drift[-1]):.3e}")
     return 0
@@ -156,21 +170,27 @@ def _run_dp(args, cfg, state, start_step) -> int:
     state = dp.make_prime(cfg, mesh)(state)
     runner = dp.make_run(cfg, mesh)
 
-    every = max(1, args.diag_every)
-    n_chunks = max(1, args.steps // every)
+    # mirror cmd_run: clamp the chunk to the request, run the remainder too
+    every = max(1, min(args.diag_every, args.steps))
+    n_chunks = args.steps // every
+    rem = args.steps - n_chunks * every
+    chunks = [every] * n_chunks + ([rem] if rem else [])
     t0 = time.perf_counter()
     rows = []
-    for i in range(n_chunks):
-        state = runner(state, every)
-        rows.append({k: float(v)
-                     for k, v in diagnostics.measure(state, cfg).items()})
+    step_nos = []
+    cur = start_step
+    for k in chunks:
+        state = runner(state, k)
+        cur += k
+        step_nos.append(cur)
+        rows.append({k2: float(v)
+                     for k2, v in diagnostics.measure(state, cfg).items()})
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
-    total = n_chunks * every
+    total = cur - start_step
     _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
          f"(dp x{n_dev})")
-    for i, row in enumerate(rows):
-        step_no = start_step + (i + 1) * every
+    for step_no, row in zip(step_nos, rows):
         _log(f"step {step_no}: total_energy={row['total_energy']:.5g} "
              f"neighbors_avg={row['neighbors_avg']:.4g}")
         if args.metrics_jsonl:

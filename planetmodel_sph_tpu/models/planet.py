@@ -401,23 +401,39 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
-def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
-    """Advance n_steps under one lax.scan (one compiled program)."""
+def run_info(state: ParticleState, cfg: SimConfig, n_steps: int):
+    """Advance n_steps under one lax.scan; returns (state, info).
+
+    `info` sums the structure overflow counters over every rebuild in the
+    run, upholding the 'dropped AND counted, never silent' contract on the
+    public run API (an undersized nbr_window/tree capacity must never drop
+    interactions without a surfaced diagnostic).
+    """
+    zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32)}
     if cfg.rebuild_every > 1:
         k = cfg.rebuild_every
         n_outer, rem = divmod(n_steps, k)
-        def body_c(s, _):
-            s2, _info = run_chunk_cached(s, cfg, k)
-            return s2, None
-        state, _ = jax.lax.scan(body_c, state, None, length=n_outer)
+        def body_c(carry, _):
+            s, acc = carry
+            s2, info = run_chunk_cached(s, cfg, k)
+            return (s2, jax.tree.map(jnp.add, acc, info)), None
+        (state, info), _ = jax.lax.scan(body_c, (state, zero), None,
+                                        length=n_outer)
         if rem:
-            state, _ = run_chunk_cached(state, cfg, rem)
-        return state
+            state, info_r = run_chunk_cached(state, cfg, rem)
+            info = jax.tree.map(jnp.add, info, info_r)
+        return state, info
 
     def body(s, _):
         return step(s, cfg), None
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
-    return out
+    return out, zero
+
+
+def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
+    """Advance n_steps (state only; see run_info for overflow accounting)."""
+    return run_info(state, cfg, n_steps)[0]
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_chunks", "chunk"))

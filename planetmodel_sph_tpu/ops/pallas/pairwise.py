@@ -189,7 +189,6 @@ _SCL = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _prep(pos, h, mass):
-    big = jnp.asarray([1e15, 2e15, 3e15], pos.dtype)
     px = _pad1(pos[:, 0], 1e15)
     py = _pad1(pos[:, 1], 2e15)
     pz = _pad1(pos[:, 2], 3e15)
