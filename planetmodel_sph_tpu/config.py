@@ -94,6 +94,11 @@ class SimConfig:
     #           grad_p_mode='grad_h' for consistent energy bookkeeping)
     h_mode: Literal["relax", "newton"] = "relax"
     h_newton_iters: int = 3
+    # Block-pipeline Newton solves clamp each solve to h*(1 +/- this) and
+    # widen the adjacency cutoffs by the same margin, so h can never
+    # outgrow the frozen windows (the 'bounded-h' variant; dense mode
+    # needs no clamp).
+    h_newton_clamp: float = 0.3
 
     # ---- neighbor search ----
     # 'dense' : masked all-pairs (exact; O(N^2) memory-light tiles)
@@ -106,6 +111,12 @@ class SimConfig:
                                    # (overflow counted, never wrapped)
     nbr_group_level: int = 4       # blocks never cross cells of this octree
                                    # level (kills Morton-seam blocks)
+    # Block-unified pipeline (ops/structure.py) static sizing: the gravity
+    # P2P window holds the MAC-rejected (near-field) source blocks per
+    # target block; block_chunk is the Pallas lane-tile width of every
+    # windowed sweep. Overflow is dropped AND counted, never wrapped.
+    p2p_window: int = 192          # near-field source blocks per target block
+    block_chunk: int = 512         # pair-tile lane width (multiple of 128)
 
     # ---- integration ----
     dt: float = 0.02               # fixed step (TimeManager.asset:6)

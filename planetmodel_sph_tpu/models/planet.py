@@ -68,97 +68,114 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
     """Full field evaluation at the given positions/smoothing lengths.
 
     `vel` is required only when artificial viscosity is enabled
-    (cfg.av_alpha > 0).
+    (cfg.av_alpha > 0). Grid mode routes everything — sym/asym/grad-h
+    pressure, fused AV, block-tree gravity — through the unified block
+    pipeline (ops/structure.py); this is the uncached path (structures
+    built fresh, zero skin).
     """
+    if cfg.neighbor_mode == "grid":
+        from ..ops import structure
+        st = structure.build(pos, h, mass, cfg)
+        return _forces_block(pos, h, mass, cfg, st, vel=vel)
     if cfg.grad_p_mode == "grad_h":
         return _compute_forces_gradh(pos, h, mass, cfg, vel=vel)
 
-    if cfg.neighbor_mode == "grid":
-        from ..ops import neighbors as nbr_ops
-        p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg)
+    from ..ops.pallas import pairwise
+    if cfg.use_pallas and pairwise._on_tpu():
+        p1 = pairwise.pass1(pos, h, mass, cfg)
+        grad_p_fn = partial(pairwise.pass2, pos, h, mass)
     else:
-        from ..ops.pallas import pairwise
-        if cfg.use_pallas and pairwise._on_tpu():
-            p1 = pairwise.pass1(pos, h, mass, cfg)
-            grad_p_fn = partial(pairwise.pass2, pos, h, mass)
-        else:
-            p1 = dense.pass1(pos, h, mass, cfg)
-            grad_p_fn = partial(dense.pass2, pos, h, mass)
+        p1 = dense.pass1(pos, h, mass, cfg)
+        grad_p_fn = partial(dense.pass2, pos, h, mass)
 
     rho, nn, phi, grad_phi, n_direct = p1
     n_approx = jnp.zeros_like(n_direct)
 
     if cfg.gravity_solver == "tree":
-        from ..ops import tree as tree_ops
-        phi, grad_phi, n_direct, n_approx = tree_ops.gravity(pos, h, mass, cfg)
+        phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
 
     prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-    grad_p = grad_p_fn(rho, prs, cfg)
+    # AV (when enabled) is fused into pass 2 on both dense backends
+    grad_p = grad_p_fn(rho, prs, cfg, vel=vel)
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
-    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h)
 
 
+def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
+    """Block-tree gravity (fresh structure unless one is supplied)."""
+    from ..ops import structure
+    if st is None:
+        st = structure.build(pos, h, mass, cfg)
+    return structure.gravity(pos, h, mass, cfg, st)
+
+
+def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None,
+                  solve_h=True) -> Forces:
+    """Grid-mode force evaluation on the unified block pipeline.
+
+    `solve_h`: run the bounded Newton h-solve (h_mode='newton') before the
+    sweeps. The cached runner passes False inside chunks (h must stay frozen
+    between structure rebuilds) and solves at chunk boundaries instead.
+    """
+    from ..ops import structure
+    if (solve_h and cfg.adaptive_h and cfg.h_mode == "newton"
+            and cfg.grad_p_mode == "grad_h"):
+        h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
+        st = structure.build(pos, h, mass, cfg)
+    bf = structure.forces(pos, h, mass, cfg, st, vel=vel)
+    accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
+    return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
+                  bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h)
+
+
 def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
-    """Optional Monaghan artificial-viscosity acceleration (flag-gated)."""
+    """Monaghan AV for the dense XLA path (flag-gated).
+
+    The grid/block and Pallas paths fuse AV into their pass-2 sweeps; this
+    standalone sweep serves the plain dense pipeline and the tests' oracle.
+    """
     if cfg.av_alpha <= 0.0:
         return jnp.zeros_like(pos)
-    if cfg.neighbor_mode != "dense":
-        raise NotImplementedError(
-            "artificial viscosity currently requires neighbor_mode='dense'")
     if vel is None:
         raise ValueError("artificial viscosity needs velocities; pass "
                          "vel= to compute_forces")
     return dense.viscosity_accel(pos, vel, h, mass, rho, cfg)
 
 
-def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
-                          nbr=None) -> Forces:
-    """Grad-h SPH (Springel & Hernquist 2002) force evaluation.
+def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
+    """Grad-h SPH (Springel & Hernquist 2002) on the dense pipeline.
 
     Gather-form density with Omega correction factors; optional fixed-point
     solve of the smoothing-length consistency relation h = eta (m/rho)^(1/3)
-    (BASELINE 'adaptive-h Newton iteration' config; dense mode only — the
-    grid path supports grad-h with the relaxation h update, whose per-step
-    h changes stay inside the adjacency cutoffs).
+    (BASELINE 'adaptive-h Newton iteration' config). Grid mode is handled by
+    the block pipeline (see compute_forces).
     """
-    if cfg.neighbor_mode == "grid":
-        if cfg.adaptive_h and cfg.h_mode == "newton":
-            raise NotImplementedError(
-                "h_mode='newton' requires neighbor_mode='dense' (the "
-                "fixed-point h updates would outgrow the adjacency lists)")
-        from ..ops import neighbors as nbr_ops
-        (rho, omega, nn), gfn = nbr_ops.make_passes(pos, h, mass, cfg,
-                                                    lists=nbr)
-        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-        grad_p = gfn(rho, omega, prs, cfg)
-    else:
-        if cfg.adaptive_h and cfg.h_mode == "newton":
-            eta = h_eta(cfg)
-            for _ in range(cfg.h_newton_iters):
-                rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
-                h = eta * jnp.cbrt(mass / rho)
+    if cfg.adaptive_h and cfg.h_mode == "newton":
+        eta = h_eta(cfg)
+        for _ in range(cfg.h_newton_iters):
+            rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
+            h = eta * jnp.cbrt(mass / rho)
 
-        rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-        grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+    rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
+    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+    grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
 
-    # gravity: reuse the fused pass for the potential sums (the SPH part of
-    # that pass is discarded; acceptable at dense scales)
     if cfg.gravity_solver == "direct":
-        g1 = dense.pass1(pos, h, mass, cfg)
+        # gravity-only dense sweep (the SPH kernel math is skipped, fixing
+        # the round-1 waste of a full discarded pass-1)
+        g1 = dense.pass1(pos, h, mass, cfg, sph=False)
         phi, grad_phi, n_direct = g1.phi, g1.grad_phi, g1.n_direct
+        n_approx = jnp.zeros_like(n_direct)
+    elif cfg.gravity_solver == "tree":
+        phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
     else:
         phi = jnp.zeros_like(rho)
         grad_phi = jnp.zeros_like(pos)
         n_direct = jnp.zeros_like(nn)
-    n_approx = jnp.zeros_like(n_direct)
-    if cfg.gravity_solver == "tree":
-        from ..ops import tree as tree_ops
-        phi, grad_phi, n_direct, n_approx = tree_ops.gravity(pos, h, mass, cfg)
+        n_approx = jnp.zeros_like(n_direct)
 
     accel = -grad_p / rho[:, None] - grad_phi
     accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
@@ -231,8 +248,8 @@ def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
 class Carry(NamedTuple):
     state: ParticleState
     tick: jax.Array   # int32 step counter
-    nbr: object       # GroupLists when neighbor_mode='grid', else int32 0
-    tree: object      # TreeCache when gravity_solver='tree', else int32 0
+    st: object        # BlockStructure when the block pipeline is cached
+                      # (grid mode, or dense SPH + tree gravity), else int32 0
 
 
 def _skin(cfg: SimConfig, vel, accel):
@@ -250,34 +267,29 @@ def _skin(cfg: SimConfig, vel, accel):
     return cfg.skin_safety * (t * vmax + 0.5 * t * t * amax)
 
 
+def _uses_block_cache(cfg: SimConfig) -> bool:
+    return cfg.neighbor_mode == "grid" or cfg.gravity_solver == "tree"
+
+
 def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
+    if not _uses_block_cache(cfg):
+        return jnp.asarray(0, jnp.int32)
+    from ..ops import structure
     if accel is None:
         accel = jnp.zeros_like(vel)
     skin = _skin(cfg, vel, accel)
+    return structure.build(pos, h, mass, cfg, skin=skin)
+
+
+def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None) -> Forces:
     if cfg.neighbor_mode == "grid":
-        from ..ops import neighbors as nbr_ops
-        nbr = nbr_ops.build(pos, h, cfg, skin=skin)
-    else:
-        nbr = jnp.asarray(0, jnp.int32)
-    if cfg.gravity_solver == "tree":
-        from ..ops import tree as tree_ops
-        tree = tree_ops.build_cache(pos, h, mass, cfg, skin=skin)
-    else:
-        tree = jnp.asarray(0, jnp.int32)
-    return nbr, tree
-
-
-def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
-                   vel=None) -> Forces:
+        return _forces_block(pos, h, mass, cfg, st, vel=vel, solve_h=False)
+    av_extra = None
     if cfg.grad_p_mode == "grad_h":
-        # route to the real implementation rather than silently computing
-        # the symmetric force law; the grid variant reuses the cached lists
-        return _compute_forces_gradh(
-            pos, h, mass, cfg, vel=vel,
-            nbr=nbr if cfg.neighbor_mode == "grid" else None)
-    if cfg.neighbor_mode == "grid":
-        from ..ops import neighbors as nbr_ops
-        p1, grad_p_fn = nbr_ops.make_passes(pos, h, mass, cfg, lists=nbr)
+        rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+        av_extra = _viscosity(pos, vel, h, mass, rho, cfg)
     else:
         from ..ops.pallas import pairwise
         if cfg.use_pallas and pairwise._on_tpu():
@@ -286,19 +298,30 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
         else:
             p1 = dense.pass1(pos, h, mass, cfg)
             grad_p_fn = partial(dense.pass2, pos, h, mass)
+        rho, nn = p1.rho, p1.n_neighbors
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        grad_p = grad_p_fn(rho, prs, cfg, vel=vel)   # AV fused when enabled
 
-    rho, nn, phi, grad_phi, n_direct = p1
-    n_approx = jnp.zeros_like(n_direct)
     if cfg.gravity_solver == "tree":
-        from ..ops import tree as tree_ops
-        out = tree_ops.evaluate(tree, pos, h, mass, cfg)
-        phi, grad_phi = out.phi, out.grad_phi
-        n_direct, n_approx = out.n_direct, out.n_approx
+        from ..ops import structure
+        phi, grad_phi, n_direct, n_approx = structure.gravity(
+            pos, h, mass, cfg, st)
+    elif cfg.gravity_solver == "direct" and cfg.grad_p_mode != "grad_h":
+        phi, grad_phi, n_direct = p1.phi, p1.grad_phi, p1.n_direct
+        n_approx = jnp.zeros_like(n_direct)
+    elif cfg.gravity_solver == "direct":
+        g1 = dense.pass1(pos, h, mass, cfg, sph=False)
+        phi, grad_phi, n_direct = g1.phi, g1.grad_phi, g1.n_direct
+        n_approx = jnp.zeros_like(n_direct)
+    else:
+        phi = jnp.zeros_like(rho)
+        grad_phi = jnp.zeros_like(pos)
+        n_direct = jnp.zeros_like(nn)
+        n_approx = jnp.zeros_like(nn)
 
-    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-    grad_p = grad_p_fn(rho, prs, cfg)
     accel = -grad_p / rho[:, None] - grad_phi
-    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
+    if av_extra is not None:
+        accel = accel + av_extra
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h)
 
@@ -306,12 +329,11 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, nbr, tree,
 def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     """Prime forces and build initial caches (the cached-run analog of
     :func:`prime`)."""
-    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
-                              cfg, accel=state.accel)
-    f = _forces_cached(state.pos, state.h, state.mass, cfg, nbr, tree,
+    st = _build_caches(state.pos, state.h, state.mass, state.vel,
+                       cfg, accel=state.accel)
+    f = _forces_cached(state.pos, state.h, state.mass, cfg, st,
                        vel=state.vel)
-    return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32),
-                 nbr, tree)
+    return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32), st)
 
 
 def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
@@ -344,12 +366,12 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
                              accel=state.accel)
 
     def keep(_):
-        return carry.nbr, carry.tree
+        return carry.st
 
-    nbr, tree = jax.lax.cond(rebuild, do_build, keep, None)
+    st = jax.lax.cond(rebuild, do_build, keep, None)
     # KDK evaluates forces at the post-drift position with the half-step
     # velocity (matching step_kdk); staggered uses the pre-step velocity
-    f = _forces_cached(eval_pos, h, state.mass, cfg, nbr, tree,
+    f = _forces_cached(eval_pos, h, state.mass, cfg, st,
                        vel=state.vel if v_half is None else v_half)
 
     if cfg.integrator == "staggered_euler":
@@ -359,7 +381,7 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
         pos = eval_pos
         vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     new_state = _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
-    return Carry(new_state, tick + 1, nbr, tree)
+    return Carry(new_state, tick + 1, st)
 
 
 def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
@@ -368,24 +390,32 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
     Returns (state, info) where info carries the structure overflow
     counters from the rebuild.
 
-    The adaptive-h relaxation is applied once at the chunk boundary so
-    support radii cannot outgrow the cached cutoffs; the skin margin covers
-    k steps of motion (built conservatively from pre-drift positions with
-    skin_safety >= 2).
+    The adaptive-h update is applied once at the chunk boundary so support
+    radii cannot outgrow the cached cutoffs: the relaxation step
+    (h_mode='relax'), or the bounded Newton solve of the consistency
+    relation (h_mode='newton' + grad_h on the block pipeline). The skin
+    margin covers k steps of motion (built conservatively from pre-drift
+    positions with skin_safety >= 2).
     """
     if cfg.adaptive_h:
-        state = state.replace(h=update_h(state.h, state.n_neighbors, cfg))
-    nbr, tree = _build_caches(state.pos, state.h, state.mass, state.vel,
-                              cfg, accel=state.accel)
+        if (cfg.h_mode == "newton" and cfg.grad_p_mode == "grad_h"
+                and cfg.neighbor_mode == "grid"):
+            from ..ops import structure
+            state = state.replace(h=structure.solve_h_newton(
+                state.pos, state.h, state.mass, cfg, h_eta(cfg)))
+        else:
+            state = state.replace(h=update_h(state.h, state.n_neighbors,
+                                             cfg))
+    st = _build_caches(state.pos, state.h, state.mass, state.vel,
+                       cfg, accel=state.accel)
     forces_fn = lambda p, hh, m, vel=None: _forces_cached(
-        p, hh, m, cfg, nbr, tree, vel=vel)
-    info = {
-        "nbr_overflow": (nbr.overflow if cfg.neighbor_mode == "grid"
-                         else jnp.asarray(0, jnp.int32)),
-        "tree_overflow": (tree.m2p_overflow + tree.p2p_overflow
-                          if cfg.gravity_solver == "tree"
-                          else jnp.asarray(0, jnp.int32)),
-    }
+        p, hh, m, cfg, st, vel=vel)
+    if _uses_block_cache(cfg):
+        info = {"nbr_overflow": st.sph_overflow,
+                "tree_overflow": st.p2p_overflow}
+    else:
+        info = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+                "tree_overflow": jnp.asarray(0, jnp.int32)}
 
     if cfg.integrator == "staggered_euler":
         one = lambda s: step_staggered(s, cfg, forces_fn,

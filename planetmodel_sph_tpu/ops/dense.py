@@ -83,6 +83,7 @@ def pass1(
     pos, h, mass, cfg: SimConfig,
     src: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     target_offset: int = 0,
+    sph: bool = True,
 ) -> Pass1Out:
     """Density + neighbor count + direct gravity in one fused sweep.
 
@@ -92,6 +93,9 @@ def pass1(
         mass 0 are inert (used for padding). Defaults to the targets.
       target_offset: global index of targets[0] within the source ordering
         (for self-pair masking under sharding).
+      sph: False skips the kernel math (gravity-only sweep — rho and
+        n_neighbors come back zero); used when the density is computed by
+        another formulation (grad-h) and only the potential sums are needed.
     """
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
     if src is None:
@@ -110,13 +114,16 @@ def pass1(
         r = jnp.sqrt(r2)
         pair_mask = (idx_i[:, None] != sidx[None, :]) & src_live[None, :]
 
-        w_i = kernels.w(r, h_i[:, None])
-        w_j = kernels.w(r, h_s[None, :])
-        w_sym = 0.5 * (w_i + w_j)
-
         m_eff = jnp.where(pair_mask, mass_s[None, :], 0.0)
-        rho = m_i * kernels.w0(h_i) + jnp.sum(m_eff * w_sym, axis=-1)
-        nn = jnp.sum((w_i > 0.0) & pair_mask, axis=-1).astype(jnp.int32)
+        if sph:
+            w_i = kernels.w(r, h_i[:, None])
+            w_j = kernels.w(r, h_s[None, :])
+            w_sym = 0.5 * (w_i + w_j)
+            rho = m_i * kernels.w0(h_i) + jnp.sum(m_eff * w_sym, axis=-1)
+            nn = jnp.sum((w_i > 0.0) & pair_mask, axis=-1).astype(jnp.int32)
+        else:
+            rho = jnp.zeros_like(h_i)
+            nn = jnp.zeros_like(idx_i)
 
         if do_gravity:
             if cfg.softening_mode == "receiver_h":
@@ -144,7 +151,7 @@ def pass1(
     return Pass1Out(rho, nn, phi, grad_phi, n_direct)
 
 
-def density_gradh(pos, h, mass, cfg: SimConfig):
+def density_gradh(pos, h, mass, cfg: SimConfig, src=None, target_offset=0):
     """Gather-form density + grad-h correction factor (blocked all-pairs).
 
     The grad-h SPH formulation (Springel & Hernquist 2002) uses the
@@ -153,25 +160,25 @@ def density_gradh(pos, h, mass, cfg: SimConfig):
         Omega_i = 1 + (h_i / (3 rho_i)) * sum_j m_j dW/dh(r_ij, h_i),
     which makes the pairwise pressure force exactly energy-consistent with
     adaptive smoothing lengths. Returns (rho, omega, n_neighbors).
+
+    `src`: optional (pos_src, h_src, mass_src) global source set (dp mode;
+    `target_offset` places the targets inside the source index space).
     """
-    n = pos.shape[0]
-    b = min(cfg.block_n, n)
-    nb = -(-n // b)
-    n_pad = nb * b
-    big = jnp.asarray(1e30, pos.dtype)
-    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
-    h_p = _pad_to(h, n_pad, 1.0)
-    h_p = jnp.where(h_p > 0, h_p, 1.0)
-    mass_p = _pad_to(mass, n_pad, 0.0)
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
-    valid_j = idx < n
+    n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg,
+                                                      target_offset)
+    if src is None:
+        src = (pos, h, mass)
+    pos_s, h_s, mass_s = _prep_sources(src)
+    sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
+    src_live = mass_s > 0.0
+    mass_t = _pad_to(mass, n_pad, 0.0)
 
     def body(args):
         pos_i, h_i, idx_i, m_i = args
-        dx = pos_i[:, None, :] - pos_p[None, :, :]
+        dx = pos_i[:, None, :] - pos_s[None, :, :]
         r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
-        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+        pair = (idx_i[:, None] != sidx[None, :]) & src_live[None, :]
+        m_eff = jnp.where(pair, mass_s[None, :], 0.0)
         w_i = kernels.w(r, h_i[:, None])
         rho = m_i * kernels.w0(h_i) + jnp.sum(m_eff * w_i, axis=-1)
         # self term of dW/dh: dW/dh(0,h) = -3 W(0,h)/h
@@ -181,69 +188,69 @@ def density_gradh(pos, h, mass, cfg: SimConfig):
         nn = jnp.sum((w_i > 0.0) & pair, axis=-1).astype(jnp.int32)
         return rho, omega, nn
 
-    mass_t = _pad_to(mass, n_pad, 0.0)
     out = jax.lax.map(
         body,
-        (_block(pos_p, nb, b), _block(h_p, nb, b), _block(idx, nb, b),
+        (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
          _block(mass_t, nb, b)),
     )
     rho, omega, nn = jax.tree.map(lambda x: x.reshape((n_pad,))[:n], out)
     return rho, omega, nn
 
 
-def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig):
+def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
+                src=None, target_offset=0):
     """Grad-h symmetric pressure force, returned as an effective gradient.
 
     a_i = -sum_j m_j [ P_i/(Omega_i rho_i^2) gradW_i(h_i)
                      + P_j/(Omega_j rho_j^2) gradW_i(h_j) ]
     exposed as gradP_i = -rho_i * a_i so dv/dt = -gradP/rho is unchanged.
+
+    `src`: optional (pos_src, h_src, mass_src, coef_src) where coef_src is
+    the precomputed P/(Omega rho^2) of the global source set (dp mode).
     """
-    n = pos.shape[0]
-    b = min(cfg.block_n, n)
-    nb = -(-n // b)
-    n_pad = nb * b
-    big = jnp.asarray(1e30, pos.dtype)
-    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
-    h_p = _pad_to(h, n_pad, 1.0)
-    h_p = jnp.where(h_p > 0, h_p, 1.0)
-    mass_p = _pad_to(mass, n_pad, 0.0)
-    rho_p = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
-                      _pad_to(rho, n_pad, 1.0), 1.0)
+    n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg,
+                                                      target_offset)
     # robustness floor: at very low neighbor counts the discrete Omega can
     # approach 0 (the density becomes locally non-monotone in h) and the
     # 1/Omega force would blow up; clamping keeps the pairwise terms
     # antisymmetric, so momentum conservation is unaffected
-    om_p = jnp.maximum(_pad_to(omega, n_pad, 1.0), 0.1)
-    prs_p = _pad_to(pressure, n_pad, 0.0)
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
-    valid_j = idx < n
-    coef_j_all = prs_p / (om_p * rho_p * rho_p)   # P_j/(Omega_j rho_j^2)
+    om = jnp.maximum(omega, 0.1)
+    rho_safe = jnp.where(rho > 0, rho, 1.0)
+    coef = pressure / (om * rho_safe * rho_safe)
+    if src is None:
+        src = (pos, h, mass, coef)
+    pos_s, h_s, mass_s = _prep_sources(src[:3])
+    coef_s = src[3]
+    sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
+    src_live = mass_s > 0.0
+
+    rho_t = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
+                      _pad_to(rho, n_pad, 1.0), 1.0)
+    coef_t = _pad_to(coef, n_pad, 0.0)
     sign_bug = cfg.kernel_deriv_sign_bug
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, om_i, prs_i = args
-        dx = pos_i[:, None, :] - pos_p[None, :, :]
+        pos_i, h_i, idx_i, rho_i, coef_i = args
+        dx = pos_i[:, None, :] - pos_s[None, :, :]
         r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
-        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+        pair = (idx_i[:, None] != sidx[None, :]) & src_live[None, :]
+        m_eff = jnp.where(pair, mass_s[None, :], 0.0)
         gw_i = kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
-        gw_j = kernels.dw_dr_over_r(r, h_p[None, :], sign_bug)
-        coef_i = (prs_i / (om_i * rho_i * rho_i))[:, None]
-        radial = m_eff * (coef_i * gw_i + coef_j_all[None, :] * gw_j)
+        gw_j = kernels.dw_dr_over_r(r, h_s[None, :], sign_bug)
+        radial = m_eff * (coef_i[:, None] * gw_i + coef_s[None, :] * gw_j)
         accel = -jnp.sum(dx * radial[..., None], axis=-2)
         return -rho_i[:, None] * accel            # effective grad P
 
     out = jax.lax.map(
         body,
-        (_block(pos_p, nb, b), _block(h_p, nb, b), _block(idx, nb, b),
-         _block(jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
-                          _pad_to(rho, n_pad, 1.0), 1.0), nb, b),
-         _block(om_p, nb, b), _block(prs_p, nb, b)),
+        (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
+         _block(rho_t, nb, b), _block(coef_t, nb, b)),
     )
     return out.reshape((n_pad, 3))[:n]
 
 
-def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig):
+def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
+                    src=None, target_offset=0):
     """Monaghan (1992) artificial-viscosity acceleration (blocked all-pairs).
 
     Pi_ij = (-alpha cbar mu + beta mu^2)/rhobar for approaching pairs,
@@ -252,23 +259,28 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig):
     New capability beyond the reference (it handles no shocks); with the
     barotropic EOS there is no thermal feedback, so AV acts as a bounded
     momentum-conserving dissipation channel (flag-gated, av_alpha=0 off).
+    The hot paths fuse this term into pass 2; this standalone sweep serves
+    the dense grad-h pipeline and the tests' oracle.
+
+    `src`: optional (pos, vel, h, mass, rho) global source set (dp mode).
     """
     from . import eos as eos_ops
 
-    n = pos.shape[0]
-    b = min(cfg.block_n, n)
-    nb = -(-n // b)
-    n_pad = nb * b
-    big = jnp.asarray(1e15, pos.dtype)
-    pos_p = _pad_to(pos, n_pad, 0.0).at[n:].set(big)
-    vel_p = _pad_to(vel, n_pad, 0.0)
-    h_p = jnp.where(_pad_to(h, n_pad, 1.0) > 0, _pad_to(h, n_pad, 1.0), 1.0)
-    mass_p = _pad_to(mass, n_pad, 0.0)
-    rho_p = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
+    n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg,
+                                                      target_offset)
+    if src is None:
+        src = (pos, vel, h, mass, rho)
+    pos_s, vel_s, h_s, mass_s, rho_s = src
+    h_s = jnp.where(h_s > 0, h_s, 1.0)
+    rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
+    cs_s = eos_ops.sound_speed(rho_s, cfg.eos_k, cfg.eos_gamma)
+    sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
+    src_live = mass_s > 0.0
+
+    vel_t = _pad_to(vel, n_pad, 0.0)
+    rho_t = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
                       _pad_to(rho, n_pad, 1.0), 1.0)
-    cs_p = eos_ops.sound_speed(rho_p, cfg.eos_k, cfg.eos_gamma)
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
-    valid_j = idx < n
+    cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
     # AV is a beyond-reference capability: always use the CORRECT kernel
     # derivative. With the parity sign bug the q<1 gradient flips and AV
     # would accelerate approaching pairs (inject energy) instead of
@@ -277,30 +289,30 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig):
 
     def body(args):
         pos_i, vel_i, h_i, idx_i, rho_i, cs_i = args
-        dx = pos_i[:, None, :] - pos_p[None, :, :]
-        dv = vel_i[:, None, :] - vel_p[None, :, :]
+        dx = pos_i[:, None, :] - pos_s[None, :, :]
+        dv = vel_i[:, None, :] - vel_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         vdotr = jnp.sum(dv * dx, axis=-1)
-        pair = (idx_i[:, None] != idx[None, :]) & valid_j[None, :]
+        pair = (idx_i[:, None] != sidx[None, :]) & src_live[None, :]
         approaching = pair & (vdotr < 0.0)
-        hbar = 0.5 * (h_i[:, None] + h_p[None, :])
+        hbar = 0.5 * (h_i[:, None] + h_s[None, :])
         mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
-        cbar = 0.5 * (cs_i[:, None] + cs_p[None, :])
-        rhobar = 0.5 * (rho_i[:, None] + rho_p[None, :])
+        cbar = 0.5 * (cs_i[:, None] + cs_s[None, :])
+        rhobar = 0.5 * (rho_i[:, None] + rho_s[None, :])
         pi_ij = jnp.where(
             approaching,
             (-cfg.av_alpha * cbar * mu + cfg.av_beta * mu * mu) / rhobar,
             0.0)
         r = jnp.sqrt(r2)
         gsym = 0.5 * (kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
-                      + kernels.dw_dr_over_r(r, h_p[None, :], sign_bug))
-        m_eff = jnp.where(pair, mass_p[None, :], 0.0)
+                      + kernels.dw_dr_over_r(r, h_s[None, :], sign_bug))
+        m_eff = jnp.where(pair, mass_s[None, :], 0.0)
         return -jnp.sum(dx * (m_eff * pi_ij * gsym)[..., None], axis=-2)
 
     out = jax.lax.map(
         body,
-        (_block(pos_p, nb, b), _block(vel_p, nb, b), _block(h_p, nb, b),
-         _block(idx, nb, b), _block(rho_p, nb, b), _block(cs_p, nb, b)),
+        (_block(pos_t, nb, b), _block(vel_t, nb, b), _block(h_t, nb, b),
+         _block(gidx, nb, b), _block(rho_t, nb, b), _block(cs_t, nb, b)),
     )
     return out.reshape((n_pad, 3))[:n]
 
@@ -309,6 +321,7 @@ def pass2(
     pos, h, mass, rho, pressure, cfg: SimConfig,
     src: Optional[Tuple[jax.Array, ...]] = None,
     target_offset: int = 0,
+    vel: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pressure gradient grad P_i, shape [N,3].
 
@@ -318,12 +331,18 @@ def pass2(
     gradient so VelocitySystem's dv/dt = -grad P / rho stays unchanged):
         grad P_i = rho_i * sum_j m_j (P_i/rho_i^2 + P_j/rho_j^2) gradW_sym
 
-    `src`, if given, is (pos_src, h_src, mass_src, rho_src, prs_src).
+    `src`, if given, is (pos_src, h_src, mass_src, rho_src, prs_src
+    [, vel_src]). `vel` (with cfg.av_alpha > 0) fuses the Monaghan AV term
+    into the same sweep as an effective-gradient contribution (-rho_i a_AV),
+    instead of paying a second all-pairs sweep.
     """
+    from . import eos as eos_ops
+
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
+    av = cfg.av_alpha > 0.0 and vel is not None
     if src is None:
-        src = (pos, h, mass, rho, pressure)
-    pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src)
+        src = (pos, h, mass, rho, pressure) + ((vel,) if av else ())
+    pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src[:5])
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
     src_live = mass_s > 0.0
@@ -331,11 +350,17 @@ def pass2(
     rho_t = _pad_to(rho, n_pad, 1.0)
     rho_t = jnp.where(rho_t > 0, rho_t, 1.0)
     prs_t = _pad_to(pressure, n_pad, 0.0)
+    if av:
+        vel_s = src[5]
+        cs_s = eos_ops.sound_speed(rho_s, cfg.eos_k, cfg.eos_gamma)
+        vel_t = _pad_to(vel, n_pad, 0.0)
+    else:
+        vel_t = jnp.zeros((n_pad, 3), pos.dtype)
 
     sign_bug = cfg.kernel_deriv_sign_bug
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, prs_i = args
+        pos_i, h_i, idx_i, rho_i, prs_i, vel_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         r = jnp.sqrt(r2)
@@ -347,17 +372,38 @@ def pass2(
 
         m_eff = jnp.where(pair_mask, mass_s[None, :], 0.0)
         if cfg.grad_p_mode == "reference_asymmetric":
-            coef = m_eff * (prs_s / rho_s)[None, :]
+            coef = m_eff * (prs_s / rho_s)[None, :] * gsym
         else:
             coef = m_eff * (
                 (prs_i / (rho_i * rho_i))[:, None]
                 + (prs_s / (rho_s * rho_s))[None, :]
-            ) * rho_i[:, None]
-        return jnp.sum(dx * (gsym * coef)[..., None], axis=-2)
+            ) * rho_i[:, None] * gsym
+        if av:
+            # Monaghan AV fused into the same sweep (always the correct
+            # kernel derivative — see viscosity_accel); effective gradP
+            # contribution is -rho_i * a_AV
+            dv = vel_i[:, None, :] - vel_s[None, :, :]
+            vdotr = jnp.sum(dv * dx, axis=-1)
+            hbar = 0.5 * (h_i[:, None] + h_s[None, :])
+            mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
+            cs_i = eos_ops.sound_speed(rho_i, cfg.eos_k, cfg.eos_gamma)
+            cbar = 0.5 * (cs_i[:, None] + cs_s[None, :])
+            rhobar = 0.5 * (rho_i[:, None] + rho_s[None, :])
+            pi_ij = jnp.where(
+                pair_mask & (vdotr < 0.0),
+                (-cfg.av_alpha * cbar * mu + cfg.av_beta * mu * mu) / rhobar,
+                0.0)
+            if sign_bug:
+                gs_av = 0.5 * (kernels.dw_dr_over_r(r, h_i[:, None], False)
+                               + kernels.dw_dr_over_r(r, h_s[None, :], False))
+            else:
+                gs_av = gsym
+            coef = coef + m_eff * pi_ij * gs_av * rho_i[:, None]
+        return jnp.sum(dx * coef[..., None], axis=-2)
 
     out = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
-         _block(rho_t, nb, b), _block(prs_t, nb, b)),
+         _block(rho_t, nb, b), _block(prs_t, nb, b), _block(vel_t, nb, b)),
     )
     return out.reshape((n_pad, 3))[:n]

@@ -155,21 +155,50 @@ def _pass1_kernel(n_ref, xi, yi, zi, inv_hi, mi,
         nd_ref[:] = jnp.zeros_like(nd_ref)
 
 
-def _pass2_kernel(n_ref, xi, yi, zi, inv_hi, rho_i, prs_i,
-                  xj, yj, zj, inv_hj, mj, rho_j, prs_j,
-                  gpx_ref, gpy_ref, gpz_ref,
-                  *, asymmetric, sign_bug):
+def _pass2_kernel(n_ref, *args, asymmetric, sign_bug, av,
+                  av_alpha, av_beta):
+    it = iter(args)
+    xi, yi, zi, inv_hi, rho_i, prs_i = (next(it) for _ in range(6))
+    if av:
+        vxi, vyi, vzi, hi, csi = (next(it) for _ in range(5))
+    xj, yj, zj, inv_hj, mj, rho_j, prs_j = (next(it) for _ in range(7))
+    if av:
+        vxj, vyj, vzj, hj, csj = (next(it) for _ in range(5))
+    gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
+
     dxx, dxy, dxz, r2, pair = _pair_geometry(n_ref, xi, yi, zi, xj, yj, zj)
     m_eff = jnp.where(pair, mj[:], 0.0)
 
-    gw = 0.5 * (_spline_dw_over_r(r2, inv_hi[:], sign_bug)
-                + _spline_dw_over_r(r2, inv_hj[:], sign_bug))
+    gw_i = _spline_dw_over_r(r2, inv_hi[:], sign_bug)
+    gw_j = _spline_dw_over_r(r2, inv_hj[:], sign_bug)
+    gw = 0.5 * (gw_i + gw_j)
     if asymmetric:
         coef = m_eff * prs_j[:] / rho_j[:] * gw
     else:
         ri = rho_i[:]
         coef = m_eff * (prs_i[:] / (ri * ri)
                         + prs_j[:] / (rho_j[:] * rho_j[:])) * ri * gw
+
+    if av:
+        # Monaghan AV fused into the same sweep (see dense.pass2); always
+        # the correct kernel derivative
+        dvx = vxi[:] - vxj[:]
+        dvy = vyi[:] - vyj[:]
+        dvz = vzi[:] - vzj[:]
+        vdotr = dvx * dxx + dvy * dxy + dvz * dxz
+        hbar = 0.5 * (hi[:] + hj[:])
+        mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
+        cbar = 0.5 * (csi[:] + csj[:])
+        rhobar = 0.5 * (rho_i[:] + rho_j[:])
+        pi_ij = jnp.where(pair & (vdotr < 0.0),
+                          (-av_alpha * cbar * mu + av_beta * mu * mu)
+                          / rhobar, 0.0)
+        if sign_bug:
+            gs_av = 0.5 * (_spline_dw_over_r(r2, inv_hi[:], False)
+                           + _spline_dw_over_r(r2, inv_hj[:], False))
+        else:
+            gs_av = gw
+        coef = coef + m_eff * pi_ij * gs_av * rho_i[:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -236,27 +265,41 @@ def pass1(pos, h, mass, cfg: SimConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pass2(pos, h, mass, rho, pressure, cfg: SimConfig):
-    """Fused pressure-gradient sweep; returns grad P [N,3]."""
+def pass2(pos, h, mass, rho, pressure, cfg: SimConfig, vel=None):
+    """Fused pressure-gradient sweep; returns grad P [N,3].
+
+    With `vel` and cfg.av_alpha > 0, the Monaghan AV term is fused into the
+    same sweep (as an effective-gradient contribution -rho_i a_AV)."""
+    from ...ops import eos as eos_ops
+
     n = pos.shape[0]
+    av = cfg.av_alpha > 0.0 and vel is not None
     px, py, pz, hh, inv_h, mm = _prep(pos, h, mass)
     n_pad = px.shape[0]
     rr = _pad1(rho, 1.0)
     rr = jnp.where(rr > 0, rr, 1.0)
     pp = _pad1(pressure, 0.0)
+    icols, irows = [px, py, pz, inv_h, rr, pp], \
+                   [px, py, pz, inv_h, mm, rr, pp]
+    if av:
+        cs = eos_ops.sound_speed(rr, cfg.eos_k, cfg.eos_gamma)
+        vx = _pad1(vel[:, 0], 0.0)
+        vy = _pad1(vel[:, 1], 0.0)
+        vz = _pad1(vel[:, 2], 0.0)
+        icols += [vx, vy, vz, hh, cs]
+        irows += [vx, vy, vz, hh, cs]
     kernel = functools.partial(
         _pass2_kernel,
         asymmetric=cfg.grad_p_mode == "reference_asymmetric",
-        sign_bug=cfg.kernel_deriv_sign_bug)
+        sign_bug=cfg.kernel_deriv_sign_bug, av=av,
+        av_alpha=cfg.av_alpha, av_beta=cfg.av_beta)
     f32 = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // _TI, n_pad // _TJ),
-        in_specs=[_SCL] + [_COL] * 6 + [_ROW] * 7,
+        in_specs=[_SCL] + [_COL] * len(icols) + [_ROW] * len(irows),
         out_specs=[_COL] * 3,
         out_shape=[f32, f32, f32],
         interpret=not _on_tpu(),
-    )(jnp.asarray([n], jnp.int32),
-      *_cols(px, py, pz, inv_h, rr, pp),
-      *_rows(px, py, pz, inv_h, mm, rr, pp))
+    )(jnp.asarray([n], jnp.int32), *_cols(*icols), *_rows(*irows))
     return jnp.stack([o[:n, 0] for o in outs], axis=-1)

@@ -1,0 +1,493 @@
+"""Unified Morton-block structure: neighbor windows + block-level Barnes-Hut.
+
+One build serves both short-range SPH and long-range gravity, replacing the
+reference's per-step broadphase BVH double duty (neighbor pair stream via
+``KernelSystem.cs:97-229`` + gravity tree skeleton via
+``GravityFieldSystem.cs:75-220``) with a single TPU-native structure:
+
+1. Particles are Morton-sorted into cell-bounded blocks of ``B``
+   (``ops/grouping.py``). The block partition is shared: blocks are the SPH
+   target/source groups AND the gravity tree's leaves.
+2. One [G, NB] block-pair geometry pass computes BOTH decisions:
+   - SPH adjacency: AABB gap < kappa*max(h) + 2*skin (the
+     ``SplineKernel.Interacts`` predicate lifted conservatively to blocks);
+   - the Salmon-Warren bmax MAC (theta, ``GravityFieldSystem.cs:229-247``)
+     from the target-block AABB (inflated by the Verlet skin) to each source
+     block's center of mass: accepted blocks are far-field (M2P, evaluated
+     against *current* block monopoles — fresher and finer-grained than the
+     reference's frozen BVH-node moments), rejected live blocks are
+     near-field (P2P with Dyer-Ip softening).
+   There is no explicit octree walk at all: at the production scale
+   (N ~ 1e5, NB ~ 1e3) the flat [G, NB] MAC matrix costs ~1e6 VPU ops —
+   cheaper than any level-synchronous traversal — and the per-group
+   acceptance mask makes the far field completely gather-free.
+3. Adjacency rows are compacted to fixed windows (overflow counted, never
+   silent). Evaluation gathers whole contiguous block rows (2-4 KB) —
+   full-bandwidth gathers — and sweeps dense masked [B, CHUNK] pair tiles
+   in Pallas (``ops/pallas/groups.py``).
+
+The structure is rebuilt every ``rebuild_every`` steps with a skin margin
+(the Verlet-list amortization of the reference's per-step AABB + v*dt
+expansion, ``Broadphase.cs:743-761``) and re-evaluated against current
+positions in between. P2P and SPH sums are always exact for current
+positions; only the M2P/P2P *split* is frozen (the skin keeps it
+conservative: a block can only become "more far-field" than its frozen
+classification assumed).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from . import eos as eos_ops
+from . import grouping
+from .gravity import accept_bmax
+from .pallas import groups as gk
+
+
+class BlockStructure(NamedTuple):
+    groups: grouping.Groups      # target grouping (frozen Morton sort)
+    src_groups: grouping.Groups  # source grouping (same object single-set)
+    sph_idx: jax.Array           # [G, Ws] adjacent source-block ids
+    n_sph: jax.Array             # [G]    true adjacency row sizes
+    p2p_idx: jax.Array           # [G, Wp] MAC-rejected source-block ids
+    n_p2p: jax.Array             # [G]
+    accept: jax.Array            # [G, NBpad] f32 frozen M2P acceptance
+    sph_overflow: jax.Array      # [] dropped SPH window entries
+    p2p_overflow: jax.Array      # [] dropped P2P window entries
+
+
+def _nbpad(nb: int, chunk: int) -> int:
+    return -(-nb // chunk) * chunk
+
+
+def _compact_rows(adj, w):
+    """Compact boolean rows [G, NB] to index windows [G, w] (+counts, drop)."""
+    g, nb = adj.shape
+    inc = jnp.cumsum(adj, axis=1) - adj
+    posns = jnp.where(adj, inc, w).astype(jnp.int32)
+    cols = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (g, nb))
+    idx = jax.vmap(
+        lambda p, c: jnp.full((w,), -1, jnp.int32).at[p].set(c, mode="drop")
+    )(posns, cols)
+    n = jnp.sum(adj, axis=1).astype(jnp.int32)
+    overflow = jnp.sum(jnp.maximum(n - w, 0))
+    return idx, n, overflow
+
+
+def _block_stats(pos_b, h_b, m_b, live):
+    """Per-block summaries from sorted [NB, B] fields (live-masked)."""
+    big = jnp.asarray(3e30, pos_b.dtype)
+    m_live = jnp.where(live, m_b, 0.0)
+    mass = jnp.sum(m_live, axis=1)                                   # [NB]
+    mpos = jnp.sum(m_live[..., None] * pos_b, axis=1)                # [NB,3]
+    cm = mpos / jnp.maximum(mass, 1e-30)[:, None]
+    lv3 = live[..., None]
+    amin = jnp.min(jnp.where(lv3, pos_b, big), axis=1)
+    amax = jnp.max(jnp.where(lv3, pos_b, -big), axis=1)
+    # bmax: CM to farthest corner of the tight AABB (the Salmon-Warren bmax,
+    # GravityFieldSystem.cs:236-243); 0 for empty blocks
+    b = jnp.maximum(jnp.maximum(amax - cm, cm - amin), 0.0)
+    bmax2 = jnp.where(mass > 0, jnp.sum(b * b, axis=-1), 0.0)
+    hmax = jnp.max(jnp.where(live, h_b, 0.0), axis=1)
+    return mass, cm, amin, amax, bmax2, hmax
+
+
+def build(pos, h, mass, cfg: SimConfig, skin=0.0,
+          src=None, target_offset: int = 0,
+          h_margin: float = 0.0) -> BlockStructure:
+    """Build windows + MAC mask for the current positions/smoothing lengths.
+
+    `skin`: Verlet margin — cutoffs widened by 2*skin, MAC boxes inflated by
+    3.5*skin (2 skins of mutual approach + skin/theta of bmax growth; see
+    the derivation in the round-1 tree cache).
+    `src`: optional (pos, h, mass) global source set (dp: targets = local
+    shard, sources = all-gathered global set).
+    `h_margin`: cutoffs additionally widened by (1+h_margin) on h — room for
+    a bounded Newton h-solve between rebuilds.
+    """
+    single = src is None
+    pos_s, h_s, mass_s = (pos, h, mass) if single else src
+    bsz = cfg.nbr_group_size
+    lg = cfg.nbr_group_level
+    chunk = cfg.block_chunk
+    do_grav = cfg.gravity_solver == "tree"
+
+    # shared Morton bounding box (targets are a subset of sources under dp,
+    # but take the union to be safe)
+    live_s = mass_s > 0.0
+    big = jnp.asarray(3e30, pos.dtype)
+    lo = jnp.minimum(jnp.min(jnp.where(live_s[:, None], pos_s, big), axis=0),
+                     jnp.min(pos, axis=0))
+    hi = jnp.maximum(jnp.max(jnp.where(live_s[:, None], pos_s, -big), axis=0),
+                     jnp.max(pos, axis=0))
+
+    tgrp = grouping.cell_groups(pos, lo, hi, bsz, lg)
+    sgrp = tgrp if single else grouping.cell_groups(pos_s, lo, hi, bsz, lg)
+    g = tgrp.live.shape[0]
+    nb = sgrp.live.shape[0]
+
+    # target-block AABBs + max h (duplicate slots replicate real members, so
+    # plain min/max give the true bbox)
+    pos_t = pos[tgrp.tgt_idx].reshape(g, bsz, 3)
+    h_t = h[tgrp.tgt_idx].reshape(g, bsz)
+    tlo = jnp.min(pos_t, axis=1)
+    thi = jnp.max(pos_t, axis=1)
+    t_hmax = jnp.max(jnp.where(tgrp.live, h_t, 0.0), axis=1)
+    tvalid = jnp.any(tgrp.live, axis=1)
+
+    # source-block summaries
+    pos_sb = pos_s[sgrp.tgt_idx].reshape(nb, bsz, 3)
+    h_sb = h_s[sgrp.tgt_idx].reshape(nb, bsz)
+    m_sb = mass_s[sgrp.tgt_idx].reshape(nb, bsz)
+    s_mass, s_cm, s_amin, s_amax, s_bmax2, s_hmax = _block_stats(
+        pos_sb, h_sb, m_sb, sgrp.live)
+    svalid = s_mass > 0.0
+
+    # ---- one [G, NB] geometry pass for both decisions ----
+    gap = jnp.maximum(
+        jnp.maximum(tlo[:, None, :] - s_amax[None, :, :],
+                    s_amin[None, :, :] - thi[:, None, :]), 0.0)  # [G,NB,3]
+    gap2 = jnp.sum(gap * gap, axis=-1)
+    cut = (cfg.kappa * (1.0 + h_margin)
+           * jnp.maximum(t_hmax[:, None], s_hmax[None, :]) + 2.0 * skin)
+    sph_adj = (gap2 < cut * cut) & tvalid[:, None] & svalid[None, :]
+    sph_idx, n_sph, sph_over = _compact_rows(sph_adj, cfg.nbr_window)
+
+    if do_grav:
+        pad_sk = 3.5 * skin
+        d = jnp.maximum(
+            jnp.maximum((tlo[:, None, :] - pad_sk) - s_cm[None, :, :],
+                        s_cm[None, :, :] - (thi[:, None, :] + pad_sk)), 0.0)
+        rmin2 = jnp.sum(d * d, axis=-1)
+        mac = accept_bmax(rmin2, s_bmax2[None, :], cfg.theta)
+        p2p = (~mac) & tvalid[:, None] & svalid[None, :]
+        p2p_idx, n_p2p, p2p_over = _compact_rows(p2p, cfg.p2p_window)
+        accept = (mac & svalid[None, :]).astype(jnp.float32)
+        nbp = _nbpad(nb, chunk)
+        accept = jnp.pad(accept, ((0, 0), (0, nbp - nb)))
+    else:
+        p2p_idx = jnp.full((g, cfg.p2p_window), -1, jnp.int32)
+        n_p2p = jnp.zeros((g,), jnp.int32)
+        p2p_over = jnp.asarray(0, jnp.int32)
+        accept = jnp.zeros((g, _nbpad(nb, chunk)), jnp.float32)
+
+    return BlockStructure(tgrp, sgrp, sph_idx, n_sph, p2p_idx, n_p2p,
+                          accept, sph_over, p2p_over)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+class BlockForces(NamedTuple):
+    rho: jax.Array
+    pressure: jax.Array
+    grad_p: jax.Array        # effective grad P (AV folded in when enabled)
+    phi: jax.Array
+    grad_phi: jax.Array
+    n_neighbors: jax.Array
+    n_direct: jax.Array
+    n_approx: jax.Array
+
+
+class _Ctx(NamedTuple):
+    """Sorted-layout fields shared by the sweeps of one evaluation.
+
+    Under data parallelism the target set is the local shard and the source
+    set is the all-gathered global set (each with its own Morton grouping);
+    single-set evaluation aliases the two (no duplicate gathers)."""
+    t: dict                  # target-sorted fields [Gt*B]
+    s: dict                  # source-sorted fields [NB*B]
+    single: bool
+    g: int
+    nb: int
+
+
+def _sort_set(grp, arrs):
+    """Gather a list of [N] fields into the sorted [G*B] layout (one
+    contiguous row gather through the grouping's index)."""
+    base = jnp.stack(arrs, axis=-1)
+    sb = base[grp.tgt_idx]
+    return [sb[:, k] for k in range(len(arrs))]
+
+
+def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
+              vel=None, src=None, target_offset=0) -> _Ctx:
+    single = src is None
+    need_vel = vel is not None
+    tgrp = st.groups
+    g = tgrp.live.shape[0]
+
+    tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
+    if need_vel:
+        tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
+    tcols = _sort_set(tgrp, tf)
+    t = dict(x=tcols[0], y=tcols[1], z=tcols[2], h=tcols[3], m=tcols[4])
+    if need_vel:
+        t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
+    t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
+    t["oid"] = (tgrp.tgt_idx
+                + jnp.asarray(target_offset, jnp.int32)).astype(pos.dtype)
+
+    if single:
+        s = dict(t)
+        s["live"] = tgrp.live.reshape(-1).astype(pos.dtype)
+        nb = g
+    else:
+        pos_s, h_s, mass_s = src[:3]
+        vel_s = src[3] if len(src) > 3 else None
+        sgrp = st.src_groups
+        nb = sgrp.live.shape[0]
+        sf = [pos_s[:, 0], pos_s[:, 1], pos_s[:, 2], h_s, mass_s]
+        if vel_s is not None:
+            sf += [vel_s[:, 0], vel_s[:, 1], vel_s[:, 2]]
+        scols = _sort_set(sgrp, sf)
+        s = dict(x=scols[0], y=scols[1], z=scols[2], h=scols[3], m=scols[4])
+        if vel_s is not None:
+            s.update(vx=scols[5], vy=scols[6], vz=scols[7])
+        s["ih"] = 1.0 / jnp.where(s["h"] > 0, s["h"], 1.0)
+        s["oid"] = sgrp.tgt_idx.astype(pos.dtype)
+        s["live"] = sgrp.live.reshape(-1).astype(pos.dtype)
+    return _Ctx(t, s, single, g, nb)
+
+
+def _to_source_layout(x, st: BlockStructure, gather_fn):
+    """Target-sorted [Gt*B] -> source-sorted [NB*B] per-particle field.
+
+    Single set: identity. Under dp: unsort to the local original order,
+    all_gather over the mesh axis (`gather_fn`), re-sort by the source
+    grouping."""
+    if gather_fn is None:
+        return x
+    tgrp = st.groups
+    n_local = tgrp.order.shape[0]
+    local = jnp.zeros((n_local,), x.dtype).at[tgrp.scatter_to].set(
+        x, mode="drop")
+    return gather_fn(local)[st.src_groups.tgt_idx]
+
+
+def _window_gather(sorted_cols, idx, nb, bsz, chunk):
+    """Gather per-field [G, NCHUNK*CHUNK] rows through block-id windows.
+
+    sorted_cols: list of [NB*B] field vectors (sorted source layout).
+    idx: [G, W] block ids (-1 padding). Returns one row array per field.
+    One packed gather of contiguous [B*C]-float rows (2-4 KB each), then
+    per-field slices — never per-particle row gathers.
+    """
+    c = len(sorted_cols)
+    w = idx.shape[1]
+    packed = jnp.stack(sorted_cols, axis=-1).reshape(nb, bsz * c)
+    safe = jnp.clip(idx, 0, nb - 1)
+    gat = packed[safe].reshape(idx.shape[0], w, bsz, c)
+    pad = _nbpad(w * bsz, chunk) - w * bsz
+    return [jnp.pad(gat[..., k].reshape(idx.shape[0], w * bsz),
+                    ((0, 0), (0, pad)))
+            for k in range(c)]
+
+
+def _cols(*xs):
+    return [x[:, None] for x in xs]
+
+
+def _geom(s):
+    return [s["x"], s["y"], s["z"], s["ih"], s["m"], s["oid"], s["live"]]
+
+
+def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
+                   t_ih=None, t_h=None):
+    """pass1 against current fields; (rho, nn[, omega]) target-sorted.
+
+    `t_ih`/`t_h` override the target smoothing length (the Newton h-solve
+    iterates h with the windows frozen — sound because the build widened
+    the cutoffs by its h_margin)."""
+    bsz = cfg.nbr_group_size
+    chunk = cfg.block_chunk
+    gradh = cfg.grad_p_mode == "grad_h"
+    t, s = ctx.t, ctx.s
+    tih = t["ih"] if t_ih is None else t_ih
+    th = t["h"] if t_h is None else t_h
+    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
+    src1 = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
+    tgt1 = _cols(t["x"], t["y"], t["z"], tih, t["m"], t["oid"])
+    if gradh:
+        rho_c, nn_c, xi_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk,
+                                     gradh=True)
+        rho = jnp.maximum(rho_c[:, 0], 1e-30)
+        omega = 1.0 + th * xi_c[:, 0] / (3.0 * rho)
+        return rho, nn_c[:, 0], omega
+    rho_c, nn_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk)
+    return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0], None
+
+
+def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
+    """M2P (gather-free, current block monopoles) + P2P sweeps."""
+    bsz = cfg.nbr_group_size
+    chunk = cfg.block_chunk
+    t, s = ctx.t, ctx.s
+    nb = ctx.nb
+    sgrp = st.src_groups if not ctx.single else st.groups
+
+    live2 = sgrp.live.reshape(nb, bsz)
+    m_live = jnp.where(live2, s["m"].reshape(nb, bsz), 0.0)
+    bmass = jnp.sum(m_live, axis=1)                     # current moments
+    inv_bm = 1.0 / jnp.maximum(bmass, 1e-30)
+    cmx = jnp.sum(m_live * s["x"].reshape(nb, bsz), axis=1) * inv_bm
+    cmy = jnp.sum(m_live * s["y"].reshape(nb, bsz), axis=1) * inv_bm
+    cmz = jnp.sum(m_live * s["z"].reshape(nb, bsz), axis=1) * inv_bm
+    nbp = st.accept.shape[1]
+    rows = [jnp.pad(v, (0, nbp - nb))[None, :]
+            for v in (bmass, cmx, cmy, cmz)]
+    phi_m, gmx, gmy, gmz, na_c = gk.m2p(
+        _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
+        g_const=cfg.g_const)
+
+    nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
+    srcp = _window_gather(_geom(s), st.p2p_idx, nb, bsz, chunk)
+    phi_p, gpx2, gpy2, gpz2, nd_c = gk.p2p(
+        nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"]), srcp,
+        b=bsz, chunk=chunk,
+        receiver_soft=cfg.softening_mode == "receiver_h",
+        g_const=cfg.g_const)
+    phi = (phi_m + phi_p)[:, 0]
+    grad_phi = jnp.concatenate([gmx + gpx2, gmy + gpy2, gmz + gpz2], axis=-1)
+    return phi, grad_phi, nd_c[:, 0], na_c[:, 0]
+
+
+def _unsort(st: BlockStructure, n, dtype, f32_fields, i32_fields):
+    """One packed row scatter back to the original target order."""
+    cols = [f[:, None] if f.ndim == 1 else f for f in f32_fields]
+    cols += [f.astype(dtype)[:, None] for f in i32_fields]
+    packed = jnp.concatenate(cols, axis=-1)
+    out = jnp.zeros((n, packed.shape[1]), dtype).at[
+        st.groups.scatter_to].set(packed, mode="drop")
+    return out
+
+
+def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
+           src=None, target_offset=0, gather_fn=None) -> BlockForces:
+    """Full field evaluation against current fields.
+
+    The reference's whole system chain (density -> EOS -> grad P [-> AV]
+    + tree gravity) in four Pallas sweeps: pass1 (+grad-h), pass2 (AV
+    fused), M2P (gather-free), P2P.
+
+    `src`/`target_offset`/`gather_fn`: data-parallel mode — targets are the
+    local shard, `src` = (pos, h, mass[, vel]) is the all-gathered global
+    set, and `gather_fn` all-gathers a local per-particle field to the
+    global set (needed to feed source densities/pressures to pass 2).
+    """
+    n = pos.shape[0]
+    bsz = cfg.nbr_group_size
+    chunk = cfg.block_chunk
+    do_grav = cfg.gravity_solver == "tree"
+    gradh = cfg.grad_p_mode == "grad_h"
+    av = cfg.av_alpha > 0.0
+    if av and vel is None:
+        raise ValueError("artificial viscosity needs velocities; pass vel=")
+
+    ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av else None,
+                    src=src, target_offset=target_offset)
+    t, s = ctx.t, ctx.s
+
+    # ---- pass 1: density (+ grad-h Omega) ----
+    rho_t, nn_t, omega = _density_sweep(ctx, cfg, st)
+    prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
+
+    # ---- pass 2: pressure gradient (+ fused AV) ----
+    to_src = lambda x: _to_source_layout(x, st, gather_fn)
+    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
+    tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"], rho_t)
+    s_extra = []
+    if gradh:
+        om_safe = jnp.maximum(omega, 0.1)   # robustness floor (see dense.py)
+        coef_t = prs_t / (om_safe * rho_t * rho_t)
+        tgt2 += _cols(coef_t)
+        s_extra += [to_src(coef_t)]
+        if av:
+            s_extra += [to_src(rho_t)]
+    else:
+        tgt2 += _cols(prs_t)
+        s_extra += [to_src(rho_t), to_src(prs_t)]
+    if av:
+        cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
+        tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t)
+        s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t)]
+    src2 = _window_gather(_geom(s) + s_extra, st.sph_idx, ctx.nb, bsz, chunk)
+    gpx, gpy, gpz = gk.pass2(
+        nv, tgt2, src2, b=bsz, chunk=chunk, mode=cfg.grad_p_mode, av=av,
+        sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
+        av_beta=cfg.av_beta)
+    grad_p_t = jnp.concatenate([gpx, gpy, gpz], axis=-1)    # [Gt*B, 3]
+
+    # ---- gravity ----
+    if do_grav:
+        phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st)
+    else:
+        phi_t = jnp.zeros_like(rho_t)
+        grad_phi_t = jnp.zeros_like(grad_p_t)
+        nd_t = jnp.zeros_like(nn_t)
+        na_t = jnp.zeros_like(nn_t)
+
+    out = _unsort(st, n, pos.dtype,
+                  [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t],
+                  [nn_t, nd_t, na_t])
+    return BlockForces(
+        rho=out[:, 0], pressure=out[:, 1], grad_p=out[:, 2:5],
+        phi=out[:, 5], grad_phi=out[:, 6:9],
+        n_neighbors=out[:, 9].astype(jnp.int32),
+        n_direct=out[:, 10].astype(jnp.int32),
+        n_approx=out[:, 11].astype(jnp.int32))
+
+
+def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
+            src=None, target_offset=0):
+    """Tree gravity only: (phi, grad_phi, n_direct, n_approx) in original
+    order — the ``GravityFieldSystem`` stand-alone path (used when SPH runs
+    on the dense pipeline but gravity uses the block tree, e.g. the parity
+    preset)."""
+    n = pos.shape[0]
+    ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
+                    target_offset=target_offset)
+    phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st)
+    out = _unsort(st, n, pos.dtype, [phi_t, grad_phi_t], [nd_t, na_t])
+    return (out[:, 0], out[:, 1:4], out[:, 4].astype(jnp.int32),
+            out[:, 5].astype(jnp.int32))
+
+
+def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
+                   src=None, target_offset=0):
+    """Fixed-point solve of h = eta (m/rho(h))^(1/3) on the block pipeline.
+
+    Builds a throwaway structure whose cutoffs are widened by the clamp
+    margin, then iterates the gather-form density with h clamped to
+    [h/(1+c), h*(1+c)] (c = cfg.h_newton_clamp) so the smoothing length can
+    never outgrow the widened windows. Returns the new h in original order.
+    """
+    c = cfg.h_newton_clamp
+    st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
+               h_margin=c)
+    ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
+                    target_offset=target_offset)
+    h0 = ctx.t["h"]
+    lo, hi = h0 / (1.0 + c), h0 * (1.0 + c)
+    h_t = h0
+    m_t = ctx.t["m"]
+    for _ in range(cfg.h_newton_iters):
+        ih = 1.0 / jnp.where(h_t > 0, h_t, 1.0)
+        rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t)
+        h_t = jnp.clip(eta * jnp.cbrt(m_t / rho_t), lo, hi)
+    out = _unsort(st, pos.shape[0], pos.dtype, [h_t], [])
+    new_h = out[:, 0]
+    # dead scatter slots (none in practice) keep the old h
+    return jnp.where(new_h > 0, new_h, h)
+
+
+def overflow_info(st: BlockStructure):
+    """Structure overflow counters (the 'dropped AND counted' contract)."""
+    return {"nbr_overflow": st.sph_overflow,
+            "tree_overflow": st.p2p_overflow}

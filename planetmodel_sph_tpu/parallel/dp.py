@@ -36,45 +36,85 @@ from .mesh import DP_AXIS
 
 
 def _dp_forces(cfg: SimConfig, axis: str):
-    """Forces closure running inside shard_map: local targets, global sources."""
+    """Forces closure running inside shard_map: local targets, global sources.
+
+    Covers the full feature matrix: symmetric / reference-asymmetric /
+    grad-h pressure, fused artificial viscosity, and direct or block-tree
+    gravity — on either the dense target/source passes (small N) or the
+    block pipeline (neighbor_mode='grid': sharded target groups over
+    all-gathered global source blocks, no dense fallback in the traced
+    program).
+    """
 
     def forces(pos, h, mass, vel=None):
-        if cfg.grad_p_mode == "grad_h":
-            raise NotImplementedError(
-                "grad_p_mode='grad_h' is not wired into the dp path yet; "
-                "it would silently fall back to the symmetric force law")
-        if cfg.av_alpha > 0.0:
-            raise NotImplementedError(
-                "artificial viscosity is not wired into the dp path yet; "
-                "it would be silently dropped")
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
-        pos_g = jax.lax.all_gather(pos, axis, tiled=True)
-        h_g = jax.lax.all_gather(h, axis, tiled=True)
-        mass_g = jax.lax.all_gather(mass, axis, tiled=True)
+        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        av = cfg.av_alpha > 0.0
+        pos_g, h_g, mass_g = gather(pos), gather(h), gather(mass)
+        src3 = (pos_g, h_g, mass_g)
 
-        # SPH pairs: the dense target/source pass handles any neighbor_mode
-        # under dp (the grid path's group adjacency is single-set; with
-        # all-gathered sources the dense pass is the same math — grid-mode
-        # sharded adjacency is a future optimization, not a correctness gap).
-        p1 = dense.pass1(pos, h, mass, cfg, src=(pos_g, h_g, mass_g),
-                         target_offset=off)
-        rho, nn, phi, grad_phi, n_direct = p1
-        n_approx = jnp.zeros_like(n_direct)
+        if cfg.neighbor_mode == "grid":
+            from ..ops import structure
+            src = src3 + ((gather(vel),) if av and vel is not None else ())
+            st = structure.build(pos, h, mass, cfg, src=src3,
+                                 target_offset=off)
+            bf = structure.forces(pos, h, mass, cfg, st,
+                                  vel=vel if av else None, src=src,
+                                  target_offset=off, gather_fn=gather)
+            accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
+            return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
+                                 bf.grad_phi, bf.n_neighbors, bf.n_direct,
+                                 bf.n_approx, accel, h)
+
+        av_extra = None
+        if cfg.grad_p_mode == "grad_h":
+            rho, omega, nn = dense.density_gradh(pos, h, mass, cfg,
+                                                 src=src3, target_offset=off)
+            prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+            om_safe = jnp.maximum(omega, 0.1)
+            coef = prs / (om_safe * jnp.where(rho > 0, rho, 1.0) ** 2)
+            grad_p = dense.pass2_gradh(
+                pos, h, mass, rho, omega, prs, cfg,
+                src=src3 + (gather(coef),), target_offset=off)
+            if av:
+                av_extra = dense.viscosity_accel(
+                    pos, vel, h, mass, rho, cfg,
+                    src=(pos_g, gather(vel), h_g, mass_g, gather(rho)),
+                    target_offset=off)
+        else:
+            p1 = dense.pass1(pos, h, mass, cfg, src=src3, target_offset=off)
+            rho, nn = p1.rho, p1.n_neighbors
+            prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+            src5 = src3 + (gather(rho), gather(prs))
+            if av and vel is not None:
+                src5 = src5 + (gather(vel),)
+            grad_p = dense.pass2(pos, h, mass, rho, prs, cfg, src=src5,
+                                 target_offset=off, vel=vel)
 
         if cfg.gravity_solver == "tree":
-            from ..ops import tree as tree_ops
-            phi, grad_phi, n_direct, n_approx = tree_ops.gravity(
-                pos, h, mass, cfg, src=(pos_g, h_g, mass_g), target_offset=off)
-
-        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-        rho_g = jax.lax.all_gather(rho, axis, tiled=True)
-        prs_g = jax.lax.all_gather(prs, axis, tiled=True)
-        grad_p = dense.pass2(pos, h, mass, rho, prs, cfg,
-                             src=(pos_g, h_g, mass_g, rho_g, prs_g),
-                             target_offset=off)
+            from ..ops import structure
+            st = structure.build(pos, h, mass, cfg, src=src3,
+                                 target_offset=off)
+            phi, grad_phi, n_direct, n_approx = structure.gravity(
+                pos, h, mass, cfg, st, src=src3, target_offset=off)
+        elif cfg.gravity_solver == "direct" and cfg.grad_p_mode != "grad_h":
+            phi, grad_phi, n_direct = p1.phi, p1.grad_phi, p1.n_direct
+            n_approx = jnp.zeros_like(n_direct)
+        elif cfg.gravity_solver == "direct":
+            g1 = dense.pass1(pos, h, mass, cfg, src=src3, target_offset=off,
+                             sph=False)
+            phi, grad_phi, n_direct = g1.phi, g1.grad_phi, g1.n_direct
+            n_approx = jnp.zeros_like(n_direct)
+        else:
+            phi = jnp.zeros_like(rho)
+            grad_phi = jnp.zeros_like(pos)
+            n_direct = jnp.zeros_like(nn)
+            n_approx = jnp.zeros_like(nn)
 
         accel = -grad_p / rho[:, None] - grad_phi
+        if av_extra is not None:
+            accel = accel + av_extra
         return planet.Forces(rho, prs, grad_p, phi, grad_phi, nn,
                              n_direct, n_approx, accel, h)
 
@@ -87,8 +127,11 @@ def make_step(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     def local_step(state):
         return planet.step(state, cfg, forces_fn=_dp_forces(cfg, axis))
 
+    # check_vma=False: Pallas kernels (the block pipeline) don't annotate
+    # varying-mesh-axes on their outputs yet
     sharded = shard_map(local_step, mesh=mesh,
-                        in_specs=P(axis), out_specs=P(axis))
+                        in_specs=P(axis), out_specs=P(axis),
+                        check_vma=False)
     return jax.jit(sharded)
 
 
@@ -103,7 +146,7 @@ def make_run(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
 
     def run(state, n_steps):
         f = shard_map(partial(local_run, n_steps=n_steps), mesh=mesh,
-                      in_specs=P(axis), out_specs=P(axis))
+                      in_specs=P(axis), out_specs=P(axis), check_vma=False)
         return f(state)
 
     return jax.jit(run, static_argnames=("n_steps",))
@@ -113,4 +156,5 @@ def make_prime(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     def local_prime(state):
         return planet.prime(state, cfg, forces_fn=_dp_forces(cfg, axis))
     return jax.jit(shard_map(local_prime, mesh=mesh,
-                             in_specs=P(axis), out_specs=P(axis)))
+                             in_specs=P(axis), out_specs=P(axis),
+                             check_vma=False))

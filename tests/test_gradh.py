@@ -121,12 +121,31 @@ def test_gradh_grid_matches_dense():
                                rtol=1e-3, atol=1e-5)
 
 
-def test_gradh_grid_newton_rejected():
-    cfg = base_cfg(grad_p_mode="grad_h", neighbor_mode="grid",
-                   gravity_solver="tree", h_mode="newton")
-    st = ics.jupiter(cfg)
-    with pytest.raises(NotImplementedError):
-        planet.compute_forces(st.pos, st.h, st.mass, cfg)
+def test_gradh_grid_newton_close_to_dense():
+    """Grid + Newton-h now runs on the block pipeline (bounded solve).
+
+    The per-call clamp means a cold start converges over several solves
+    (one per rebuild in production); starting FROM the dense Newton solution
+    the block solve must recognize the same fixed point."""
+    dense_cfg = base_cfg(grad_p_mode="grad_h", gravity_solver="none",
+                         h_mode="newton")
+    grid_cfg = dense_cfg.replace(neighbor_mode="grid")
+    st = ics.jupiter(dense_cfg)
+    # converge the dense fixed point (3 iters/call are not enough from the
+    # jittered IC h)
+    h = st.h
+    for _ in range(5):
+        h = planet.compute_forces(st.pos, h, st.mass, dense_cfg).h
+    a = planet.compute_forces(st.pos, h, st.mass, dense_cfg)
+    b = planet.compute_forces(st.pos, a.h, st.mass, grid_cfg)
+    for leaf in [b.rho, b.grad_p, b.h]:
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    np.testing.assert_allclose(np.asarray(b.h), np.asarray(a.h), rtol=0.02)
+    # and a cold start must strictly approach the fixed point
+    c = planet.compute_forces(st.pos, st.h, st.mass, grid_cfg)
+    err0 = np.abs(np.asarray(st.h) / np.asarray(a.h) - 1.0)
+    err1 = np.abs(np.asarray(c.h) / np.asarray(a.h) - 1.0)
+    assert np.median(err1) < 0.5 * np.median(err0)
 
 
 def test_gradh_grid_cached_runs():

@@ -61,8 +61,11 @@ def test_dp_multistep_runs(cfg):
 
 
 def test_dp_tree_gravity_matches_single_chip():
-    cfg = psph.default(n=256, radius=10.0, particle_radius=2.2,
-                       block_n=64, gravity_solver="tree")
+    # large enough that some blocks pass the MAC (n_approx > 0): 64 source
+    # blocks over a wide cloud
+    cfg = psph.default(n=2048, radius=40.0, particle_radius=3.0,
+                       block_n=128, gravity_solver="tree",
+                       nbr_group_size=32, nbr_group_level=3, nbr_window=80)
     st = planet.prime(ics.jupiter(cfg), cfg)
     ref = planet.step(st, cfg)
     mesh = mesh_mod.make_mesh(8)

@@ -1,0 +1,167 @@
+"""Block-unified structure (ops/structure.py) vs the dense exact oracle.
+
+The reference validates its acceleration structures by cross-checking against
+brute force (``BoundingVolumeHierarchyBuilderTests.cs:86-146``,
+``BroadphaseTests.cs``); same pattern here: the windowed Pallas pipeline must
+reproduce the dense all-pairs pipeline bit-for-tolerance on random clouds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from planetmodel_sph_tpu import config
+from planetmodel_sph_tpu.ops import dense, eos as eos_ops, structure
+
+
+def _cloud(n, seed=0, radius=10.0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    pos = radius * jax.random.normal(k1, (n, 3))
+    h = 1.0 + jax.random.uniform(k2, (n,))
+    mass = jnp.full((n,), 0.05)
+    return pos, h, mass
+
+
+def _cfg(**kw):
+    base = dict(n=512, neighbor_mode="grid", gravity_solver="tree",
+                nbr_group_size=64, nbr_window=32, p2p_window=32,
+                nbr_group_level=2, block_chunk=512)
+    base.update(kw)
+    return config.SimConfig(**base)
+
+
+def _dense_cfg(cfg, **kw):
+    return cfg.replace(neighbor_mode="dense", gravity_solver="direct", **kw)
+
+
+def test_pass1_pass2_match_dense():
+    cfg = _cfg(grad_p_mode="symmetric")
+    pos, h, mass = _cloud(cfg.n)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) == 0 and int(st.p2p_overflow) == 0
+    bf = structure.forces(pos, h, mass, cfg, st)
+
+    dcfg = _dense_cfg(cfg)
+    p1 = dense.pass1(pos, h, mass, dcfg)
+    np.testing.assert_allclose(bf.rho, p1.rho, rtol=2e-6)
+    np.testing.assert_array_equal(bf.n_neighbors, p1.n_neighbors)
+    prs = eos_ops.pressure(p1.rho, cfg.eos_k, cfg.eos_gamma)
+    gp = dense.pass2(pos, h, mass, p1.rho, prs, dcfg)
+    np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
+
+
+def test_asymmetric_and_sign_bug_match_dense():
+    cfg = _cfg(grad_p_mode="reference_asymmetric", kernel_deriv_sign_bug=True)
+    pos, h, mass = _cloud(cfg.n, seed=3)
+    st = structure.build(pos, h, mass, cfg)
+    bf = structure.forces(pos, h, mass, cfg, st)
+    dcfg = _dense_cfg(cfg)
+    p1 = dense.pass1(pos, h, mass, dcfg)
+    prs = eos_ops.pressure(p1.rho, cfg.eos_k, cfg.eos_gamma)
+    gp = dense.pass2(pos, h, mass, p1.rho, prs, dcfg)
+    np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
+
+
+def test_gravity_exact_when_theta_zero():
+    """theta -> 0 rejects every block: pure P2P must equal direct gravity."""
+    cfg = _cfg(theta=1e-6, p2p_window=64, softening_mode="symmetric_max")
+    pos, h, mass = _cloud(cfg.n, seed=1)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.p2p_overflow) == 0
+    bf = structure.forces(pos, h, mass, cfg, st)
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(cfg))
+    np.testing.assert_allclose(bf.phi, p1.phi, rtol=3e-5, atol=1e-7)
+    np.testing.assert_allclose(bf.grad_phi, p1.grad_phi, rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_array_equal(bf.n_direct, p1.n_direct)
+    assert int(jnp.sum(bf.n_approx)) == 0
+
+
+def test_gravity_tree_close_to_direct():
+    """theta=0.7 block-monopole far field: small controlled MAC error."""
+    cfg = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
+               nbr_group_level=3, nbr_window=128, p2p_window=128)
+    pos, h, mass = _cloud(cfg.n, seed=2, radius=30.0)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) == 0 and int(st.p2p_overflow) == 0
+    bf = structure.forces(pos, h, mass, cfg, st)
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(cfg))
+    # every source block lands exactly once in M2P or P2P
+    np.testing.assert_array_equal(bf.n_direct + bf.n_approx * 0,
+                                  bf.n_direct)  # shape sanity
+    assert int(jnp.sum(bf.n_approx)) > 0        # far field actually used
+    scale = jnp.max(jnp.abs(p1.grad_phi))
+    err = jnp.max(jnp.abs(bf.grad_phi - p1.grad_phi)) / scale
+    assert float(err) < 0.02, float(err)
+    phi_err = jnp.max(jnp.abs(bf.phi - p1.phi)) / jnp.max(jnp.abs(p1.phi))
+    assert float(phi_err) < 0.02, float(phi_err)
+
+
+def test_every_block_counted_once():
+    """accept mask and P2P windows partition the live blocks per group."""
+    cfg = _cfg(theta=0.7)
+    pos, h, mass = _cloud(cfg.n, seed=5)
+    st = structure.build(pos, h, mass, cfg)
+    g = st.groups.live.shape[0]
+    accept = np.asarray(st.accept[:, :g]) > 0.5
+    p2p_sets = []
+    for gi in range(g):
+        ids = np.asarray(st.p2p_idx[gi])
+        p2p_sets.append(set(int(i) for i in ids[ids >= 0]))
+    live_blocks = set(np.nonzero(np.asarray(
+        jnp.any(st.groups.live, axis=1)))[0].tolist())
+    tvalid = np.asarray(jnp.any(st.groups.live, axis=1))
+    for gi in range(g):
+        if not tvalid[gi]:
+            continue
+        acc = set(np.nonzero(accept[gi])[0].tolist())
+        assert acc.isdisjoint(p2p_sets[gi])
+        assert acc | p2p_sets[gi] == live_blocks
+
+
+def test_gradh_matches_dense():
+    cfg = _cfg(grad_p_mode="grad_h", gravity_solver="none")
+    pos, h, mass = _cloud(cfg.n, seed=7)
+    st = structure.build(pos, h, mass, cfg)
+    bf = structure.forces(pos, h, mass, cfg, st)
+    dcfg = cfg.replace(neighbor_mode="dense")
+    rho, omega, nn = dense.density_gradh(pos, h, mass, dcfg)
+    np.testing.assert_allclose(bf.rho, rho, rtol=2e-6)
+    np.testing.assert_array_equal(bf.n_neighbors, nn)
+    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+    gp = dense.pass2_gradh(pos, h, mass, rho, omega, prs, dcfg)
+    np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "grad_h"])
+def test_av_fused_matches_dense(mode):
+    cfg = _cfg(grad_p_mode=mode, gravity_solver="none",
+               av_alpha=1.0, av_beta=2.0)
+    pos, h, mass = _cloud(cfg.n, seed=9)
+    vel = jax.random.normal(jax.random.PRNGKey(11), (cfg.n, 3))
+    st = structure.build(pos, h, mass, cfg)
+    bf = structure.forces(pos, h, mass, cfg, st, vel=vel)
+
+    dcfg = cfg.replace(neighbor_mode="dense")
+    if mode == "grad_h":
+        rho, omega, _ = dense.density_gradh(pos, h, mass, dcfg)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2_gradh(pos, h, mass, rho, omega, prs, dcfg)
+    else:
+        p1 = dense.pass1(pos, h, mass, dcfg.replace(gravity_solver="none"))
+        rho = p1.rho
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2(pos, h, mass, rho, prs, dcfg)
+    visc = dense.viscosity_accel(pos, vel, h, mass, rho, dcfg)
+    # block grad_p folds AV in as an effective gradient: -gp/rho must match
+    want = -gp / rho[:, None] + visc
+    got = -bf.grad_p / bf.rho[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_overflow_counted_not_silent():
+    cfg = _cfg(nbr_window=2)
+    pos, h, mass = _cloud(cfg.n, seed=4)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) > 0
