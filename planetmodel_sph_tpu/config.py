@@ -119,29 +119,22 @@ class SimConfig:
     block_chunk: int = 512         # pair-tile lane width (multiple of 128)
 
     # ---- integration ----
-    dt: float = 0.02               # fixed step (TimeManager.asset:6)
+    dt: float = 0.02               # fixed step (TimeManager.asset:6); with
+                                   # dt_mode='cfl' this is the dt CEILING
+    # 'fixed': the reference's constant 50 Hz step.
+    # 'cfl'  : adaptive global timestep from the CFL condition —
+    #   dt = cfl_number * min_i( h_i/(c_i + |v_i|), sqrt(h_i/|a_i|) ),
+    #   clipped to [dt_min, dt]. Uses the previous step's fields (state is
+    #   primed), so the whole run stays one jitted scan. New capability
+    #   beyond the reference (needed for collisions at alpha=1 AV).
+    dt_mode: Literal["fixed", "cfl"] = "fixed"
+    cfl_number: float = 0.25
+    dt_min: float = 1e-5
     # 'staggered_euler': reference ordering — forces at x_n, then
     #   x_{n+1} = x_n + v_n dt, then v_{n+1} = v_n + a(x_n) dt
     #   (Integrator.cs:98-101 + VelocitySystem.cs:28-34, see SURVEY §3.2)
     # 'leapfrog_kdk'   : kick-drift-kick, second order, one force eval/step
     integrator: Literal["staggered_euler", "leapfrog_kdk"] = "leapfrog_kdk"
-
-    # ---- tree gravity (Barnes-Hut) static sizing ----
-    # All list capacities are static shapes; overflow is dropped AND counted
-    # (TreeOut.*_overflow diagnostics) — never silently wrapped.
-    tree_levels: int = 6           # octree depth over Morton codes (root=0)
-    tree_group_level: int = 3      # target groups never cross cells of this
-                                   # level (kills Morton-seam groups whose
-                                   # AABB would span octant boundaries)
-    tree_frontier: int = 4096      # per-group open-node frontier capacity
-    tree_group_size: int = 256     # target group size (Morton-contiguous)
-    tree_m2p_cap: int = 2048       # accepted multipole list capacity / group
-    tree_p2p_cell_cap: int = 1024  # rejected leaf-cell list capacity / group
-    tree_p2p_cap: int = 6144       # P2P source-particle capacity / group
-    tree_leaf_count: int = 16      # treat cells this small as leaves (the
-                                   # generalization of the BVH's 4-body
-                                   # leaves; larger values trade dense P2P
-                                   # flops for traversal depth)
 
     # ---- interaction-list caching (Verlet-skin amortization) ----
     # Rebuild the neighbor adjacency and the gravity tree lists every

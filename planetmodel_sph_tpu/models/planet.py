@@ -58,6 +58,28 @@ def update_h(h, n_neighbors, cfg: SimConfig):
     return jnp.where(n_neighbors > 0, h_next, h)
 
 
+def current_dt(state: ParticleState, cfg: SimConfig):
+    """The timestep the next step will take (traced scalar).
+
+    dt_mode='fixed': cfg.dt (the reference's constant 50 Hz step).
+    dt_mode='cfl'  : Courant + force criteria from the state's last-step
+    fields — dt = C * min_i( h_i/(c_i+|v_i|), sqrt(h_i/|a_i|) ), clipped to
+    [cfg.dt_min, cfg.dt]. Dead/padded particles (rho=0) are excluded.
+    """
+    if cfg.dt_mode == "fixed":
+        return jnp.asarray(cfg.dt, state.pos.dtype)
+    live = state.mass > 0.0
+    cs = eos_ops.sound_speed(jnp.maximum(state.rho, 1e-30), cfg.eos_k,
+                             cfg.eos_gamma)
+    v = jnp.sqrt(jnp.sum(state.vel * state.vel, axis=-1))
+    a = jnp.sqrt(jnp.sum(state.accel * state.accel, axis=-1))
+    big = jnp.asarray(3e30, state.pos.dtype)
+    dt_c = jnp.where(live, state.h / (cs + v + 1e-30), big)
+    dt_f = jnp.where(live, jnp.sqrt(state.h / jnp.maximum(a, 1e-30)), big)
+    dt = cfg.cfl_number * jnp.minimum(jnp.min(dt_c), jnp.min(dt_f))
+    return jnp.clip(dt, cfg.dt_min, cfg.dt).astype(state.pos.dtype)
+
+
 def h_eta(cfg: SimConfig) -> float:
     """eta in h = eta (m/rho)^(1/3) giving target_neighbors in radius kappa*h."""
     return float((3.0 * cfg.target_neighbors
@@ -208,7 +230,7 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
                    forces_fn=None, update_smoothing=True) -> ParticleState:
     """Reference-ordered step (SURVEY.md §3.2)."""
     forces_fn = forces_fn or _default_forces(cfg)
-    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+    dt = current_dt(state, cfg)
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
     f = forces_fn(state.pos, h, state.mass, vel=state.vel)
@@ -222,7 +244,7 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
              forces_fn=None, update_smoothing=True) -> ParticleState:
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step."""
     forces_fn = forces_fn or _default_forces(cfg)
-    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+    dt = current_dt(state, cfg)
     v_half = state.vel if cfg.freeze_velocity \
         else state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
@@ -348,7 +370,7 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     state, tick = carry.state, carry.tick
     k = max(1, cfg.rebuild_every)
     rebuild = (tick % k) == 0
-    dt = jnp.asarray(cfg.dt, state.pos.dtype)
+    dt = current_dt(state, cfg)
 
     if cfg.integrator == "staggered_euler":
         eval_pos, v_half = state.pos, None

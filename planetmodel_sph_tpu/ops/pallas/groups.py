@@ -12,11 +12,13 @@ dense masked tiles over *Morton block windows*:
   gravity P2P) is built every ``rebuild_every`` steps (``ops/structure.py``).
 - Source fields are gathered window-wise into ``[G, W*B]`` row arrays by XLA
   (contiguous 2-4KB block rows — full-bandwidth gathers, never per-particle
-  row gathers), then each kernel sweeps ``[B, CHUNK]`` pair tiles with the
-  target block VMEM-resident across the whole sweep.
-- Chunks beyond a block's real window count are *skipped* (`nv` scalar per
-  group in SMEM), so compute tracks the actual adjacency, not the static
-  window capacity.
+  row gathers).
+- Each kernel instance owns ONE target block: the grid is 1-D over groups,
+  the group's full candidate row set stays VMEM-resident, and the pair
+  sweep is an in-kernel ``fori_loop`` over [B, CHUNK] tiles with a DYNAMIC
+  trip count ``ceil(nv/CHUNK)`` — work tracks the real adjacency, not the
+  static window capacity, and there is no per-tile grid-dispatch overhead
+  (a 2-D (G, chunks) grid measured ~5x slower at 100k from dispatch alone).
 - The far-field M2P kernel needs no gather at all: every target block scans
   the full block-summary table (mass + center of mass per source block, a
   few KB) against a frozen per-(group, block) acceptance mask.
@@ -24,10 +26,13 @@ dense masked tiles over *Morton block windows*:
 All kernels fall back to interpret mode off-TPU so the same code path is
 testable on CPU (tests/conftest.py pattern).
 
-Layout conventions (matching ops/pallas/pairwise.py):
+Layout conventions:
   - target fields:  [G*B, 1] f32 columns, BlockSpec (B, 1) indexed by g
-  - source fields:  [G, NC*CHUNK] f32 rows, BlockSpec (1, CHUNK) by (g, c)
-  - outputs:        [G*B, 1] columns, initialized at c == 0, accumulated
+  - source fields:  [G, 1, S] f32 rows (S = padded W*B), BlockSpec
+    (1, 1, S) indexed by g — the singleton middle axis satisfies Mosaic's
+    block-shape rule (second-to-last block dim must divide 8 or equal the
+    array's)
+  - outputs:        [G*B, 1] columns, written once per group
   - per-group scalars (valid slot counts): int32 [G] in SMEM
 """
 
@@ -59,37 +64,50 @@ def _spline_dw_dh(r2, inv_h):
     return -val * c
 
 
-def _slot_valid(nv_ref, chunk):
-    """([1,CHUNK] slot-valid mask, scalar nv) for the current (g, c) tile."""
-    g = pl.program_id(0)
-    c = pl.program_id(1)
-    nv = nv_ref[g]
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
-    return slot < nv, nv
+def _sweep(nv, rows, chunk, body, init):
+    """fori_loop over [1, CHUNK] tiles of VMEM-resident row refs.
+
+    rows: list of [1, 1, S] (or [1, S]) row REFS — sliced per chunk with
+    pl.ds (Mosaic lowers dynamic ref slices but not jnp dynamic_slice on
+    values). body(c, carry, tiles, valid) -> carry. Trip count is
+    ceil(nv/chunk) — chunks beyond the group's real window count never
+    execute."""
+    s = rows[0].shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def slice_ref(r, off):
+        if len(r.shape) == 3:
+            return r[:, 0, pl.ds(off, chunk)]
+        return r[:, pl.ds(off, chunk)]
+
+    def step(c, carry):
+        off = pl.multiple_of(c * chunk, chunk)
+        tiles = [slice_ref(r, off) for r in rows]
+        valid = (iota + off) < nv
+        return body(c, carry, tiles, valid)
+
+    trips = jnp.minimum(pl.cdiv(nv, chunk), s // chunk)
+    return jax.lax.fori_loop(0, trips, step, init)
 
 
-def _call(kernel, *, grid, n_tgt, n_src, out_dtypes, smem, tgt_cols,
-          src_rows, b, chunk, extra_rows=()):
-    """Assemble a pallas_call for the windowed-pair pattern.
-
-    Source rows get a singleton middle axis ([G, 1, S], block (1, 1, CHUNK))
-    because Mosaic requires the block's second-to-last dim to divide 8 or
-    equal the array's — (1, CHUNK) on a [G, S] array is rejected on TPU.
-    Kernels read them with ref[0] -> [1, CHUNK]."""
-    col = pl.BlockSpec((b, 1), lambda g, c: (g, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, 1, chunk), lambda g, c: (g, 0, c),
+def _call(kernel, *, n_tgt, n_src, out_dtypes, smem, tgt_cols,
+          src_rows, b):
+    """Assemble a pallas_call for the windowed-pair pattern (1-D grid)."""
+    s = src_rows[0].shape[1]
+    col = pl.BlockSpec((b, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, s), lambda g: (g, 0, 0),
                        memory_space=pltpu.VMEM)
     g_total = tgt_cols[0].shape[0] // b
     outs = [jax.ShapeDtypeStruct((g_total * b, 1), dt) for dt in out_dtypes]
     rows3 = [r[:, None, :] for r in src_rows]
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(g_total,),
         in_specs=[_SCL] * len(smem) + [col] * n_tgt + [row] * n_src,
         out_specs=[col] * len(out_dtypes),
         out_shape=outs,
         interpret=not _on_tpu(),
-    )(*smem, *tgt_cols, *rows3, *extra_rows)
+    )(*smem, *tgt_cols, *rows3)
 
 
 # ---------------------------------------------------------------------------
@@ -99,44 +117,50 @@ def _call(kernel, *, grid, n_tgt, n_src, out_dtypes, smem, tgt_cols,
 def _pass1_kernel(nv_ref, tx, ty, tz, tih, tm, toid,
                   sx, sy, sz, sih, sm, soid, slv,
                   rho_ref, nn_ref, *, chunk, gradh, xi_ref=None):
-    valid, _ = _slot_valid(nv_ref, chunk)
-    dxx = tx[:] - sx[0]
-    dxy = ty[:] - sy[0]
-    dxz = tz[:] - sz[0]
-    r2 = dxx * dxx + dxy * dxy + dxz * dxz
-    pair = valid & (slv[0] > 0.5) & (toid[:] != soid[0])
-    m_eff = jnp.where(pair, sm[0], 0.0)
-    w_i = _spline_w(r2, tih[:])
+    nv = nv_ref[pl.program_id(0)]
+    txv, tyv, tzv, tihv, toidv = tx[:], ty[:], tz[:], tih[:], toid[:]
+    rows = [sx, sy, sz, sm, soid, slv] + ([] if gradh else [sih])
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        ih = tih[:]
-        w0 = (1.0 / jnp.pi) * ih * ih * ih
-        rho_ref[:] = tm[:] * w0                     # self term (m_i W(0,h_i))
-        nn_ref[:] = jnp.zeros_like(nn_ref)
+    def body(c, carry, tiles, valid):
+        cx, cy, cz, cm, coid, clv = tiles[:6]
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        pair = valid & (clv > 0.5) & (toidv != coid)
+        m_eff = jnp.where(pair, cm, 0.0)
+        w_i = _spline_w(r2, tihv)
+        nn_p = jnp.sum(jnp.where(pair & (w_i > 0.0), 1, 0), axis=1,
+                       keepdims=True)
         if gradh:
-            # self term of dW/dh: -3 W(0,h)/h
-            xi_ref[:] = -3.0 * tm[:] * w0 * ih
+            rho_a, xi_a, nn_a = carry
+            rho_a += jnp.sum(m_eff * w_i, axis=1, keepdims=True)
+            xi_a += jnp.sum(m_eff * _spline_dw_dh(r2, tihv), axis=1,
+                            keepdims=True)
+            return rho_a, xi_a, nn_a + nn_p
+        rho_a, nn_a = carry
+        w_j = _spline_w(r2, tiles[6])
+        rho_a += jnp.sum(m_eff * 0.5 * (w_i + w_j), axis=1, keepdims=True)
+        return rho_a, nn_a + nn_p
 
-    @pl.when(pl.program_id(1) * chunk < nv_ref[pl.program_id(0)])
-    def _():
-        if gradh:
-            rho_ref[:] += jnp.sum(m_eff * w_i, axis=1, keepdims=True)
-            xi_ref[:] += jnp.sum(m_eff * _spline_dw_dh(r2, tih[:]),
-                                 axis=1, keepdims=True)
-        else:
-            w_j = _spline_w(r2, sih[0])
-            rho_ref[:] += jnp.sum(m_eff * 0.5 * (w_i + w_j), axis=1,
-                                  keepdims=True)
-        nn_ref[:] += jnp.sum(jnp.where(pair & (w_i > 0.0), 1, 0),
-                             axis=1, keepdims=True)
+    w0 = (1.0 / jnp.pi) * tihv * tihv * tihv
+    self_rho = tm[:] * w0                       # m_i W(0,h_i)
+    zf = jnp.zeros_like(self_rho)
+    zi = jnp.zeros((self_rho.shape[0], 1), jnp.int32)
+    if gradh:
+        rho_a, xi_a, nn_a = _sweep(nv, rows, chunk, body, (zf, zf, zi))
+        rho_ref[:] = self_rho + rho_a
+        xi_ref[:] = -3.0 * self_rho * tihv + xi_a   # self dW/dh term
+        nn_ref[:] = nn_a
+    else:
+        rho_a, nn_a = _sweep(nv, rows, chunk, body, (zf, zi))
+        rho_ref[:] = self_rho + rho_a
+        nn_ref[:] = nn_a
 
 
 def pass1(nv, tgt, src, *, b, chunk, gradh=False):
     """Density sweep. tgt = (x,y,z,inv_h,m,oid) cols; src = (x,y,z,inv_h,
     m,oid,live) rows. Returns (rho, nn[, xi]) as [G*B, 1] columns."""
-    g = tgt[0].shape[0] // b
-    nc = src[0].shape[1] // chunk
     if gradh:
         def kern(nv_ref, *args):
             *rest, rho_ref, nn_ref, xi_ref = args
@@ -146,9 +170,8 @@ def pass1(nv, tgt, src, *, b, chunk, gradh=False):
     else:
         kern = functools.partial(_pass1_kernel, chunk=chunk, gradh=False)
         out_dtypes = [jnp.float32, jnp.int32]
-    return _call(kern, grid=(g, nc), n_tgt=6, n_src=7,
-                 out_dtypes=out_dtypes, smem=[nv], tgt_cols=tgt,
-                 src_rows=src, b=b, chunk=chunk)
+    return _call(kern, n_tgt=6, n_src=7, out_dtypes=out_dtypes, smem=[nv],
+                 tgt_cols=tgt, src_rows=src, b=b)
 
 
 # ---------------------------------------------------------------------------
@@ -160,79 +183,79 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug,
     """mode in {'symmetric', 'reference_asymmetric', 'grad_h'}."""
     it = iter(args)
     tx, ty, tz, tih, toid, trho = (next(it) for _ in range(6))
-    if mode == "grad_h":
-        tcoef = next(it)
-    else:
-        tprs = next(it)
+    tpv = next(it)              # coef (grad_h) or pressure
     if av:
         tvx, tvy, tvz, th, tcs = (next(it) for _ in range(5))
-    sx, sy, sz, sih, sm, soid, slv = (next(it) for _ in range(7))
+    srcs = [next(it) for _ in range(7)]           # x,y,z,ih,m,oid,live
     if mode == "grad_h":
-        scoef = next(it)
+        s_extra = [next(it)]                      # coef
         if av:
-            srho = next(it)
+            s_extra.append(next(it))              # rho
     else:
-        srho, sprs = next(it), next(it)
-    if av:
-        svx, svy, svz, sh, scs = (next(it) for _ in range(5))
+        s_extra = [next(it), next(it)]            # rho, prs
+    s_av = [next(it) for _ in range(5)] if av else []   # vx,vy,vz,h,cs
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
 
-    valid, _ = _slot_valid(nv_ref, chunk)
-    dxx = tx[:] - sx[0]
-    dxy = ty[:] - sy[0]
-    dxz = tz[:] - sz[0]
-    r2 = dxx * dxx + dxy * dxy + dxz * dxz
-    pair = valid & (slv[0] > 0.5) & (toid[:] != soid[0])
-    m_eff = jnp.where(pair, sm[0], 0.0)
+    nv = nv_ref[pl.program_id(0)]
+    txv, tyv, tzv, tihv, toidv = tx[:], ty[:], tz[:], tih[:], toid[:]
+    trhov, tpvv = trho[:], tpv[:]
+    rows = srcs + s_extra + s_av
+    n_extra = len(s_extra)
 
-    gw_i = _spline_dw_over_r(r2, tih[:], sign_bug)
-    gw_j = _spline_dw_over_r(r2, sih[0], sign_bug)
-    if mode == "grad_h":
-        # radial = m (coef_i gw(h_i) + coef_j gw(h_j)); gradP = rho_i sum dx radial
-        coef = m_eff * (tcoef[:] * gw_i + scoef[0] * gw_j) * trho[:]
-    else:
-        gsym = 0.5 * (gw_i + gw_j)
-        if mode == "reference_asymmetric":
-            coef = m_eff * (sprs[0] / srho[0]) * gsym
+    def body(c, carry, tiles, valid):
+        gx_a, gy_a, gz_a = carry
+        cx, cy, cz, cih, cm, coid, clv = tiles[:7]
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        pair = valid & (clv > 0.5) & (toidv != coid)
+        m_eff = jnp.where(pair, cm, 0.0)
+        gw_i = _spline_dw_over_r(r2, tihv, sign_bug)
+        gw_j = _spline_dw_over_r(r2, cih, sign_bug)
+        if mode == "grad_h":
+            ccoef = tiles[7]
+            coef = m_eff * (tpvv * gw_i + ccoef * gw_j) * trhov
+            crho_av = tiles[8] if av else None
         else:
-            ri = trho[:]
-            coef = m_eff * (tprs[:] / (ri * ri)
-                            + sprs[0] / (srho[0] * srho[0])) * ri * gsym
+            crho, cprs = tiles[7], tiles[8]
+            gsym = 0.5 * (gw_i + gw_j)
+            if mode == "reference_asymmetric":
+                coef = m_eff * (cprs / crho) * gsym
+            else:
+                coef = m_eff * (tpvv / (trhov * trhov)
+                                + cprs / (crho * crho)) * trhov * gsym
+            crho_av = crho
+        if av:
+            # Monaghan AV fused into the same sweep; always the CORRECT
+            # kernel derivative (the parity sign bug would inject energy)
+            cvx, cvy, cvz, ch, ccs = tiles[7 + n_extra:12 + n_extra]
+            dvx = tvx[:] - cvx
+            dvy = tvy[:] - cvy
+            dvz = tvz[:] - cvz
+            vdotr = dvx * dxx + dvy * dxy + dvz * dxz
+            hbar = 0.5 * (th[:] + ch)
+            mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
+            cbar = 0.5 * (tcs[:] + ccs)
+            rhobar = 0.5 * (trhov + crho_av)
+            pi_ij = jnp.where(pair & (vdotr < 0.0),
+                              (-av_alpha * cbar * mu + av_beta * mu * mu)
+                              / rhobar, 0.0)
+            if sign_bug:
+                gs_av = 0.5 * (_spline_dw_over_r(r2, tihv, False)
+                               + _spline_dw_over_r(r2, cih, False))
+            else:
+                gs_av = 0.5 * (gw_i + gw_j)
+            coef = coef + m_eff * pi_ij * gs_av * trhov
+        return (gx_a + jnp.sum(dxx * coef, axis=1, keepdims=True),
+                gy_a + jnp.sum(dxy * coef, axis=1, keepdims=True),
+                gz_a + jnp.sum(dxz * coef, axis=1, keepdims=True))
 
-    if av:
-        # Monaghan (1992) AV fused into the same sweep; always the CORRECT
-        # kernel derivative (with the parity sign bug AV would inject energy)
-        dvx = tvx[:] - svx[0]
-        dvy = tvy[:] - svy[0]
-        dvz = tvz[:] - svz[0]
-        vdotr = dvx * dxx + dvy * dxy + dvz * dxz
-        hbar = 0.5 * (th[:] + sh[0])
-        mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
-        cbar = 0.5 * (tcs[:] + scs[0])
-        srho_av = srho[0]
-        rhobar = 0.5 * (trho[:] + srho_av)
-        pi_ij = jnp.where(pair & (vdotr < 0.0),
-                          (-av_alpha * cbar * mu + av_beta * mu * mu) / rhobar,
-                          0.0)
-        if sign_bug:
-            gs_av = 0.5 * (_spline_dw_over_r(r2, tih[:], False)
-                           + _spline_dw_over_r(r2, sih[0], False))
-        else:
-            gs_av = 0.5 * (gw_i + gw_j)
-        # a_av_i = -sum m pi gsym dx; effective gradP += -rho_i a_av
-        coef = coef + m_eff * pi_ij * gs_av * trho[:]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        gpx_ref[:] = jnp.zeros_like(gpx_ref)
-        gpy_ref[:] = jnp.zeros_like(gpy_ref)
-        gpz_ref[:] = jnp.zeros_like(gpz_ref)
-
-    @pl.when(pl.program_id(1) * chunk < nv_ref[pl.program_id(0)])
-    def _():
-        gpx_ref[:] += jnp.sum(dxx * coef, axis=1, keepdims=True)
-        gpy_ref[:] += jnp.sum(dxy * coef, axis=1, keepdims=True)
-        gpz_ref[:] += jnp.sum(dxz * coef, axis=1, keepdims=True)
+    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
+    gx_a, gy_a, gz_a = _sweep(nv, rows, chunk, body, (z, z, z))
+    gpx_ref[:] = gx_a
+    gpy_ref[:] = gy_a
+    gpz_ref[:] = gz_a
 
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
@@ -243,14 +266,12 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
     src rows: x,y,z,inv_h,m,oid,live, then (coef[,rho] | rho,prs), then AV
     (vx,vy,vz,h,cs). Returns (gpx, gpy, gpz) columns.
     """
-    g = tgt[0].shape[0] // b
-    nc = src[0].shape[1] // chunk
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
                              sign_bug=sign_bug, av_alpha=av_alpha,
                              av_beta=av_beta)
-    return _call(kern, grid=(g, nc), n_tgt=len(tgt), n_src=len(src),
+    return _call(kern, n_tgt=len(tgt), n_src=len(src),
                  out_dtypes=[jnp.float32] * 3, smem=[nv], tgt_cols=tgt,
-                 src_rows=src, b=b, chunk=chunk)
+                 src_rows=src, b=b)
 
 
 # ---------------------------------------------------------------------------
@@ -261,32 +282,37 @@ def _p2p_kernel(nv_ref, tx, ty, tz, tih, toid,
                 sx, sy, sz, sih, sm, soid, slv,
                 phi_ref, gx_ref, gy_ref, gz_ref, nd_ref,
                 *, chunk, receiver_soft, g_const):
-    valid, _ = _slot_valid(nv_ref, chunk)
-    dxx = tx[:] - sx[0]
-    dxy = ty[:] - sy[0]
-    dxz = tz[:] - sz[0]
-    r2 = dxx * dxx + dxy * dxy + dxz * dxz
-    pair = valid & (slv[0] > 0.5) & (toid[:] != soid[0])
-    m_eff = jnp.where(pair, sm[0], 0.0)
-    inv_a = tih[:] if receiver_soft else jnp.minimum(tih[:], sih[0])
+    nv = nv_ref[pl.program_id(0)]
+    txv, tyv, tzv, tihv, toidv = tx[:], ty[:], tz[:], tih[:], toid[:]
+    rows = [sx, sy, sz, sih, sm, soid, slv]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        phi_ref[:] = jnp.zeros_like(phi_ref)
-        gx_ref[:] = jnp.zeros_like(gx_ref)
-        gy_ref[:] = jnp.zeros_like(gy_ref)
-        gz_ref[:] = jnp.zeros_like(gz_ref)
-        nd_ref[:] = jnp.zeros_like(nd_ref)
-
-    @pl.when(pl.program_id(1) * chunk < nv_ref[pl.program_id(0)])
-    def _():
+    def body(c, carry, tiles, valid):
+        phi_a, gx_a, gy_a, gz_a, nd_a = carry
+        cx, cy, cz, cih, cm, coid, clv = tiles
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        pair = valid & (clv > 0.5) & (toidv != coid)
+        m_eff = jnp.where(pair, cm, 0.0)
+        inv_a = tihv if receiver_soft else jnp.minimum(tihv, cih)
         pgx, pgy, pgz, pphi = _dyer_ip_tile(dxx, dxy, dxz, r2, m_eff, inv_a)
-        phi_ref[:] += g_const * jnp.sum(pphi, axis=1, keepdims=True)
-        gx_ref[:] += g_const * jnp.sum(pgx, axis=1, keepdims=True)
-        gy_ref[:] += g_const * jnp.sum(pgy, axis=1, keepdims=True)
-        gz_ref[:] += g_const * jnp.sum(pgz, axis=1, keepdims=True)
-        nd_ref[:] += jnp.sum(jnp.where(pair & (sm[0] > 0.0), 1, 0),
-                             axis=1, keepdims=True)
+        return (phi_a + jnp.sum(pphi, axis=1, keepdims=True),
+                gx_a + jnp.sum(pgx, axis=1, keepdims=True),
+                gy_a + jnp.sum(pgy, axis=1, keepdims=True),
+                gz_a + jnp.sum(pgz, axis=1, keepdims=True),
+                nd_a + jnp.sum(jnp.where(pair & (cm > 0.0), 1, 0),
+                               axis=1, keepdims=True))
+
+    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
+    zi = jnp.zeros((txv.shape[0], 1), jnp.int32)
+    phi_a, gx_a, gy_a, gz_a, nd_a = _sweep(nv, rows, chunk, body,
+                                           (z, z, z, z, zi))
+    phi_ref[:] = g_const * phi_a
+    gx_ref[:] = g_const * gx_a
+    gy_ref[:] = g_const * gy_a
+    gz_ref[:] = g_const * gz_a
+    nd_ref[:] = nd_a
 
 
 def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const):
@@ -295,13 +321,11 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const):
     tgt cols: x,y,z,inv_h,oid. src rows: x,y,z,inv_h,m,oid,live.
     Returns (phi, gx, gy, gz, n_direct) columns.
     """
-    g = tgt[0].shape[0] // b
-    nc = src[0].shape[1] // chunk
     kern = functools.partial(_p2p_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const)
-    return _call(kern, grid=(g, nc), n_tgt=5, n_src=7,
+    return _call(kern, n_tgt=5, n_src=7,
                  out_dtypes=[jnp.float32] * 4 + [jnp.int32], smem=[nv],
-                 tgt_cols=tgt, src_rows=src, b=b, chunk=chunk)
+                 tgt_cols=tgt, src_rows=src, b=b)
 
 
 # ---------------------------------------------------------------------------
@@ -309,29 +333,38 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const):
 # ---------------------------------------------------------------------------
 
 def _m2p_kernel(tx, ty, tz, bm, bx, by, bz, acc,
-                phi_ref, gx_ref, gy_ref, gz_ref, na_ref, *, g_const):
-    use = (acc[0] > 0.5) & (bm[:] > 0.0)
-    m_eff = jnp.where(use, bm[:], 0.0)
-    dxx = tx[:] - bx[:]
-    dxy = ty[:] - by[:]
-    dxz = tz[:] - bz[:]
-    r2 = dxx * dxx + dxy * dxy + dxz * dxz
-    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
-    mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole (M2P)
+                phi_ref, gx_ref, gy_ref, gz_ref, na_ref,
+                *, chunk, g_const):
+    txv, tyv, tzv = tx[:], ty[:], tz[:]
+    rows = [bm, bx, by, bz, acc]
+    nbpad = rows[0].shape[-1]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        phi_ref[:] = jnp.zeros_like(phi_ref)
-        gx_ref[:] = jnp.zeros_like(gx_ref)
-        gy_ref[:] = jnp.zeros_like(gy_ref)
-        gz_ref[:] = jnp.zeros_like(gz_ref)
-        na_ref[:] = jnp.zeros_like(na_ref)
+    def body(c, carry, tiles, valid):
+        phi_a, gx_a, gy_a, gz_a, na_a = carry
+        cm_, cx, cy, cz, cacc = tiles
+        use = (cacc > 0.5) & (cm_ > 0.0)
+        m_eff = jnp.where(use, cm_, 0.0)
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
+        return (phi_a + jnp.sum(-m_eff * inv_r, axis=1, keepdims=True),
+                gx_a + jnp.sum(dxx * mag, axis=1, keepdims=True),
+                gy_a + jnp.sum(dxy * mag, axis=1, keepdims=True),
+                gz_a + jnp.sum(dxz * mag, axis=1, keepdims=True),
+                na_a + jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True))
 
-    phi_ref[:] += g_const * jnp.sum(-m_eff * inv_r, axis=1, keepdims=True)
-    gx_ref[:] += g_const * jnp.sum(dxx * mag, axis=1, keepdims=True)
-    gy_ref[:] += g_const * jnp.sum(dxy * mag, axis=1, keepdims=True)
-    gz_ref[:] += g_const * jnp.sum(dxz * mag, axis=1, keepdims=True)
-    na_ref[:] += jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True)
+    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
+    zi = jnp.zeros((txv.shape[0], 1), jnp.int32)
+    phi_a, gx_a, gy_a, gz_a, na_a = _sweep(
+        jnp.asarray(nbpad, jnp.int32), rows, chunk, body, (z, z, z, z, zi))
+    phi_ref[:] = g_const * phi_a
+    gx_ref[:] = g_const * gx_a
+    gy_ref[:] = g_const * gy_a
+    gz_ref[:] = g_const * gz_a
+    na_ref[:] = na_a
 
 
 def m2p(tgt, summaries, accept, *, b, chunk, g_const):
@@ -346,19 +379,17 @@ def m2p(tgt, summaries, accept, *, b, chunk, g_const):
     """
     g = tgt[0].shape[0] // b
     nbpad = summaries[0].shape[1]
-    nc = nbpad // chunk
-    col = pl.BlockSpec((b, 1), lambda g_, c: (g_, 0), memory_space=pltpu.VMEM)
-    srow = pl.BlockSpec((1, chunk), lambda g_, c: (0, c),
+    col = pl.BlockSpec((b, 1), lambda g_: (g_, 0), memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((1, nbpad), lambda g_: (0, 0),
                         memory_space=pltpu.VMEM)
-    # accept rows get the singleton middle axis (see _call)
-    arow = pl.BlockSpec((1, 1, chunk), lambda g_, c: (g_, 0, c),
+    arow = pl.BlockSpec((1, 1, nbpad), lambda g_: (g_, 0, 0),
                         memory_space=pltpu.VMEM)
     outs = [jax.ShapeDtypeStruct((g * b, 1), jnp.float32)] * 4 + \
            [jax.ShapeDtypeStruct((g * b, 1), jnp.int32)]
-    kern = functools.partial(_m2p_kernel, g_const=g_const)
+    kern = functools.partial(_m2p_kernel, chunk=chunk, g_const=g_const)
     return pl.pallas_call(
         kern,
-        grid=(g, nc),
+        grid=(g,),
         in_specs=[col] * 3 + [srow] * 4 + [arow],
         out_specs=[col] * 5,
         out_shape=outs,

@@ -217,19 +217,27 @@ def _sort_set(grp, arrs):
 
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
-              vel=None, src=None, target_offset=0) -> _Ctx:
+              vel=None, src=None, target_offset=0,
+              sorted_io=False) -> _Ctx:
     single = src is None
     need_vel = vel is not None
     tgrp = st.groups
     g = tgrp.live.shape[0]
 
-    tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
-    if need_vel:
-        tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
-    tcols = _sort_set(tgrp, tf)
-    t = dict(x=tcols[0], y=tcols[1], z=tcols[2], h=tcols[3], m=tcols[4])
-    if need_vel:
-        t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
+    if sorted_io:
+        # inputs are already in the padded sorted [G*B] layout (the cached
+        # runner keeps the state Morton-sorted between rebuilds)
+        t = dict(x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], h=h, m=mass)
+        if need_vel:
+            t.update(vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2])
+    else:
+        tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
+        if need_vel:
+            tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
+        tcols = _sort_set(tgrp, tf)
+        t = dict(x=tcols[0], y=tcols[1], z=tcols[2], h=tcols[3], m=tcols[4])
+        if need_vel:
+            t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
     t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
     t["oid"] = (tgrp.tgt_idx
                 + jnp.asarray(target_offset, jnp.int32)).astype(pos.dtype)
@@ -299,12 +307,13 @@ def _geom(s):
 
 
 def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
-                   t_ih=None, t_h=None):
+                   t_ih=None, t_h=None, src1=None):
     """pass1 against current fields; (rho, nn[, omega]) target-sorted.
 
     `t_ih`/`t_h` override the target smoothing length (the Newton h-solve
     iterates h with the windows frozen — sound because the build widened
-    the cutoffs by its h_margin)."""
+    the cutoffs by its h_margin). `src1` reuses pre-gathered geometry rows.
+    """
     bsz = cfg.nbr_group_size
     chunk = cfg.block_chunk
     gradh = cfg.grad_p_mode == "grad_h"
@@ -312,7 +321,8 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     tih = t["ih"] if t_ih is None else t_ih
     th = t["h"] if t_h is None else t_h
     nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
-    src1 = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
+    if src1 is None:
+        src1 = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
     tgt1 = _cols(t["x"], t["y"], t["z"], tih, t["m"], t["oid"])
     if gradh:
         rho_c, nn_c, xi_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk,
@@ -369,7 +379,8 @@ def _unsort(st: BlockStructure, n, dtype, f32_fields, i32_fields):
 
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
-           src=None, target_offset=0, gather_fn=None) -> BlockForces:
+           src=None, target_offset=0, gather_fn=None,
+           sorted_io=False) -> BlockForces:
     """Full field evaluation against current fields.
 
     The reference's whole system chain (density -> EOS -> grad P [-> AV]
@@ -380,6 +391,10 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     local shard, `src` = (pos, h, mass[, vel]) is the all-gathered global
     set, and `gather_fn` all-gathers a local per-particle field to the
     global set (needed to feed source densities/pressures to pass 2).
+
+    `sorted_io`: inputs are already in the padded sorted [G*B] layout and
+    outputs are returned in it (the cached runner keeps the whole state
+    Morton-sorted between rebuilds so no per-step sort/unsort is paid).
     """
     n = pos.shape[0]
     bsz = cfg.nbr_group_size
@@ -389,13 +404,20 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     av = cfg.av_alpha > 0.0
     if av and vel is None:
         raise ValueError("artificial viscosity needs velocities; pass vel=")
+    if sorted_io and src is not None:
+        raise ValueError("sorted_io is a single-set (non-dp) optimization")
 
     ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av else None,
-                    src=src, target_offset=target_offset)
+                    src=src, target_offset=target_offset,
+                    sorted_io=sorted_io)
     t, s = ctx.t, ctx.s
 
+    # gather the geometry channels ONCE; pass 1, pass 2 (and, single-set,
+    # the P2P sweep via its own windows) reuse the same row arrays
+    geom_rows = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
+
     # ---- pass 1: density (+ grad-h Omega) ----
-    rho_t, nn_t, omega = _density_sweep(ctx, cfg, st)
+    rho_t, nn_t, omega = _density_sweep(ctx, cfg, st, src1=geom_rows)
     prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
 
     # ---- pass 2: pressure gradient (+ fused AV) ----
@@ -417,9 +439,10 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t)]
-    src2 = _window_gather(_geom(s) + s_extra, st.sph_idx, ctx.nb, bsz, chunk)
+    extra_rows = _window_gather(s_extra, st.sph_idx, ctx.nb, bsz, chunk)
     gpx, gpy, gpz = gk.pass2(
-        nv, tgt2, src2, b=bsz, chunk=chunk, mode=cfg.grad_p_mode, av=av,
+        nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
+        mode=cfg.grad_p_mode, av=av,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
         av_beta=cfg.av_beta)
     grad_p_t = jnp.concatenate([gpx, gpy, gpz], axis=-1)    # [Gt*B, 3]
@@ -477,9 +500,12 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     lo, hi = h0 / (1.0 + c), h0 * (1.0 + c)
     h_t = h0
     m_t = ctx.t["m"]
+    rows = _window_gather(_geom(ctx.s), st.sph_idx, ctx.nb,
+                          cfg.nbr_group_size, cfg.block_chunk)
     for _ in range(cfg.h_newton_iters):
         ih = 1.0 / jnp.where(h_t > 0, h_t, 1.0)
-        rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t)
+        rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t,
+                                     src1=rows)
         h_t = jnp.clip(eta * jnp.cbrt(m_t / rho_t), lo, hi)
     out = _unsort(st, pos.shape[0], pos.dtype, [h_t], [])
     new_h = out[:, 0]

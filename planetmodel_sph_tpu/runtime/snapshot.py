@@ -74,7 +74,9 @@ def load(path: str):
             out[spec["name"]] = a
         import jax.numpy as jnp
         state = ParticleState(**{k: jnp.asarray(v) for k, v in out.items()})
-        cfg = SimConfig(**header["config"])
+        known = {f.name for f in dataclasses.fields(SimConfig)}
+        cfg = SimConfig(**{k: v for k, v in header["config"].items()
+                           if k in known})
         return state, cfg, int(header["step"])
     finally:
         lib.psph_reader_close(r)

@@ -51,7 +51,11 @@ def load(path: str):
         from ..runtime import snapshot
         return snapshot.load(path)
     with np.load(path) as z:
-        cfg = SimConfig(**json.loads(bytes(z["__config__"]).decode()))
+        raw = json.loads(bytes(z["__config__"]).decode())
+        # tolerate config fields from other engine versions (e.g. the
+        # removed tree_* sizing knobs) so old checkpoints stay loadable
+        known = {f.name for f in dataclasses.fields(SimConfig)}
+        cfg = SimConfig(**{k: v for k, v in raw.items() if k in known})
         step = int(z["__step__"])
         fields = {
             f.name: jax.numpy.asarray(z[f.name])
