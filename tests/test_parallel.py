@@ -85,3 +85,28 @@ def test_dp_on_subset_mesh(cfg):
     st = mesh_mod.shard_state(planet.prime(ics.jupiter(cfg), cfg), mesh)
     out = dp.make_step(cfg, mesh)(st)
     assert bool(jnp.all(jnp.isfinite(out.pos)))
+
+
+# ---------------------------------------------------------------------------
+# full feature-matrix sweep: every dp-supported physics combination must
+# agree with the single-chip oracle (VERDICT round-1 item 4's done criterion)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nbr", ["dense", "grid"])
+@pytest.mark.parametrize("av", [0.0, 1.0])
+@pytest.mark.parametrize("mode", ["symmetric", "reference_asymmetric",
+                                  "grad_h"])
+def test_dp_matrix_matches_single_chip(mode, av, nbr):
+    cfg = psph.default(n=256, radius=10.0, particle_radius=2.2,
+                       block_n=64, gravity_solver="direct",
+                       grad_p_mode=mode, av_alpha=av,
+                       av_beta=2.0 * av, neighbor_mode=nbr,
+                       nbr_group_size=32, nbr_window=48, nbr_group_level=2)
+    st = planet.prime(ics.jupiter(cfg), cfg)
+    ref = planet.step(st, cfg)
+    mesh = mesh_mod.make_mesh(8)
+    out = dp.make_step(cfg, mesh)(mesh_mod.shard_state(st, mesh))
+    for name in ("pos", "vel", "rho", "grad_p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=5e-4, atol=1e-5, err_msg=f"{name} ({mode}, av={av}, {nbr})")
