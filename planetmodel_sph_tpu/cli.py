@@ -105,7 +105,13 @@ def cmd_run(args) -> int:
             step_nos.append(cur)
             render.render_png(
                 state, os.path.join(args.render_every_dir,
-                                    f"frame_{fi:05d}.png"))
+                                    f"frame_{fi:05d}.png"),
+                color_by=args.render_color_by, quiver=args.render_quiver,
+                extent=args.render_extent)
+        if args.animate:
+            out = render.assemble_gif(args.render_every_dir, args.animate,
+                                      fps=args.animate_fps)
+            _log(f"animation -> {out}")
     else:
         every = max(1, min(args.diag_every, args.steps))
         n_chunks = args.steps // every
@@ -144,7 +150,10 @@ def cmd_run(args) -> int:
         checkpoint.save(args.checkpoint, state, cfg, start_step + total)
         _log(f"checkpoint -> {args.checkpoint}")
     if args.render:
-        out = render.render_png(state, args.render)
+        out = render.render_png(state, args.render,
+                                color_by=args.render_color_by,
+                                quiver=args.render_quiver,
+                                extent=args.render_extent)
         _log(f"render -> {out}")
     for key in ("nbr_overflow", "tree_overflow"):
         if key in diags and float(jax.numpy.sum(diags[key])) > 0:
@@ -238,6 +247,19 @@ def main(argv=None) -> int:
     pr.add_argument("--render-every", type=int, default=None,
                     help="write a PNG frame every N steps (animation mode)")
     pr.add_argument("--render-every-dir", default="frames")
+    pr.add_argument("--render-color-by", default="rho",
+                    help="field to color particles by, or 'id' for stable "
+                         "per-particle random colors (the reference's "
+                         "ParticleAuthoring random base colors)")
+    pr.add_argument("--render-quiver", action="store_true",
+                    help="overlay velocity arrows on a particle subsample")
+    pr.add_argument("--render-extent", type=float, default=None,
+                    help="fixed half-width of the view (stable framing "
+                         "across animation frames)")
+    pr.add_argument("--animate", default=None, metavar="GIF",
+                    help="assemble --render-every frames into a GIF after "
+                         "the run (the live-viewport stand-in)")
+    pr.add_argument("--animate-fps", type=float, default=10.0)
     pr.add_argument("--metrics-jsonl", default=None)
     pr.add_argument("--devices", type=int, default=None,
                     help="shard particles over this many devices "
