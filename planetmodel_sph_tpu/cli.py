@@ -130,7 +130,9 @@ def cmd_run(args) -> int:
             step_nos.append(cur)
     diags = {k: jax.numpy.concatenate([d[k] for d in diags_list])
              for k in diags_list[0]}
-    jax.block_until_ready(state)
+    # scalar readback: block_until_ready can return early on relay-backed
+    # remote devices, silently under-reporting wall time
+    float(jax.numpy.sum(state.pos))
     dt_wall = time.perf_counter() - t0
     total = cur - start_step
     _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "
@@ -194,7 +196,7 @@ def _run_dp(args, cfg, state, start_step) -> int:
         step_nos.append(cur)
         rows.append({k2: float(v)
                      for k2, v in diagnostics.measure(state, cfg).items()})
-    jax.block_until_ready(state)
+    float(jax.numpy.sum(state.pos))       # honest sync (see cmd_run)
     dt_wall = time.perf_counter() - t0
     total = cur - start_step
     _log(f"{total} steps in {dt_wall:.2f}s = {total/dt_wall:.1f} steps/s "

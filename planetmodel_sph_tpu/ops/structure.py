@@ -209,11 +209,13 @@ class _Ctx(NamedTuple):
 
 
 def _sort_set(grp, arrs):
-    """Gather a list of [N] fields into the sorted [G*B] layout (one
-    contiguous row gather through the grouping's index)."""
-    base = jnp.stack(arrs, axis=-1)
-    sb = base[grp.tgt_idx]
-    return [sb[:, k] for k in range(len(arrs))]
+    """Gather a list of [N] fields into the sorted [G*B] layout.
+
+    Per-field 1-D gathers: packing fields into an interleaved [N, c] array
+    first puts c (non-128) in the lane dimension, which triggers
+    pathological relayouts on TPU (measured 30x slower than per-field at
+    100k, tools/microbench.py)."""
+    return [a[grp.tgt_idx] for a in arrs]
 
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
@@ -289,11 +291,16 @@ def _window_gather(sorted_cols, idx, nb, bsz, chunk):
     """
     c = len(sorted_cols)
     w = idx.shape[1]
-    packed = jnp.stack(sorted_cols, axis=-1).reshape(nb, bsz * c)
+    g = idx.shape[0]
+    # block-major packing [NB, c*B]: fields stay lane-contiguous per block.
+    # Interleaved packing (stack axis=-1) puts c in the lane dimension and
+    # costs 40x in relayouts (356MB gather: 3.9s vs 90ms, microbench.py).
+    packed = jnp.concatenate([x.reshape(nb, bsz) for x in sorted_cols],
+                             axis=1)
     safe = jnp.clip(idx, 0, nb - 1)
-    gat = packed[safe].reshape(idx.shape[0], w, bsz, c)
+    gat = packed[safe]                                  # [G, W, c*B]
     pad = _nbpad(w * bsz, chunk) - w * bsz
-    return [jnp.pad(gat[..., k].reshape(idx.shape[0], w * bsz),
+    return [jnp.pad(gat[:, :, k * bsz:(k + 1) * bsz].reshape(g, w * bsz),
                     ((0, 0), (0, pad)))
             for k in range(c)]
 

@@ -5,11 +5,17 @@ Times each stage of ops/structure.forces in isolation with the
 anti-hoisting pattern from docs/ROUND2.md: every timed region scans the
 stage K times with a data dependence threaded through the carry, and the
 result is read back as a scalar (block_until_ready is unreliable on the
-relay backend).
+relay backend). Every device buffer is passed as a jit ARGUMENT — closing
+over big arrays bakes them into the HLO as literals, which chokes the
+remote compile service (HTTP 413) and inflates every timing.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +26,13 @@ from planetmodel_sph_tpu.ops import structure, eos as eos_ops
 from planetmodel_sph_tpu.ops.pallas import groups as gk
 
 
-def timed(label, fn, *args, k=8, warmup=True):
+def timed(label, fn, args, k=8):
     f = jax.jit(fn, static_argnames=("k_",))
-    if warmup:
-        float(jnp.sum(f(*args, k_=1)))
+    float(jnp.sum(f(*args, k_=1)))           # warmup/compile
     t0 = time.perf_counter()
     s = float(jnp.sum(f(*args, k_=k)))
     dt = (time.perf_counter() - t0) / k
-    print(f"{label:32s} {dt*1e3:9.2f} ms   (checksum {s:.3e})")
+    print(f"{label:34s} {dt*1e3:9.2f} ms   (checksum {s:.3e})", flush=True)
     return dt
 
 
@@ -35,159 +40,158 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated stage filter")
     args = ap.parse_args()
+    want = set(args.only.split(",")) if args.only else None
+
+    def on(name):
+        return want is None or name in want
 
     cfg = config_mod.jupiter_100k(n=args.n)
     state = ics.jupiter(cfg)
-    # settle h so windows are realistic
     state = planet.prime(state, cfg.replace(rebuild_every=1))
     pos, h, mass = state.pos, state.h, state.mass
-    print(f"n={cfg.n}  bsz={cfg.nbr_group_size}  W={cfg.nbr_window} "
-          f"Wp={cfg.p2p_window}  chunk={cfg.block_chunk}")
+    bsz, chunk = cfg.nbr_group_size, cfg.block_chunk
+    print(f"n={cfg.n}  bsz={bsz}  W={cfg.nbr_window} "
+          f"Wp={cfg.p2p_window}  chunk={chunk}", flush=True)
 
-    st = jax.jit(lambda p: structure.build(p, h, mass, cfg))(pos)
-    g = st.groups.live.shape[0]
-    nb = st.src_groups.live.shape[0]
-    import numpy as np
-    print(f"groups={g} blocks={nb} "
+    st = jax.jit(lambda p, hh, m: structure.build(p, hh, m, cfg))(pos, h, mass)
+    print(f"groups={st.groups.live.shape[0]} "
           f"n_sph avg={float(jnp.mean(st.n_sph)):.1f} "
           f"max={int(jnp.max(st.n_sph))}  "
           f"n_p2p avg={float(jnp.mean(st.n_p2p)):.1f} "
           f"max={int(jnp.max(st.n_p2p))}  "
-          f"accept frac={float(jnp.mean(st.accept)):.3f}")
+          f"accept frac={float(jnp.mean(st.accept)):.3f}", flush=True)
 
-    # ---- full force eval (the per-step cost) ----
-    def full(p, k_):
-        def body(c, _):
-            bf = structure.forces(c, h, mass, cfg, st)
-            return c + 1e-9 * bf.grad_p, None
-        out, _ = jax.lax.scan(body, p, None, length=k_)
-        return out
-    timed("forces (full)", full, pos, k=args.k)
+    if on("forces"):
+        def full(p, hh, m, st_, k_):
+            def body(c, _):
+                bf = structure.forces(c, hh, m, cfg, st_)
+                return c + 1e-9 * bf.grad_p, None
+            out, _ = jax.lax.scan(body, p, None, length=k_)
+            return out
+        timed("forces (full)", full, (pos, h, mass, st), k=args.k)
 
-    # ---- build ----
-    def build_k(p, k_):
-        def body(c, _):
-            s2 = structure.build(c, h, mass, cfg)
-            return c + 1e-12 * jnp.sum(s2.accept), None
-        out, _ = jax.lax.scan(body, p, None, length=k_)
-        return out
-    timed("build", build_k, pos, k=max(2, args.k // 4))
+    if on("build"):
+        def build_k(p, hh, m, k_):
+            def body(c, _):
+                s2 = structure.build(c, hh, m, cfg)
+                return c + 1e-12 * jnp.sum(s2.accept), None
+            out, _ = jax.lax.scan(body, p, None, length=k_)
+            return out
+        timed("build", build_k, (pos, h, mass), k=max(2, args.k // 4))
 
-    # ---- ctx prep (sorts) ----
-    def prep_k(p, k_):
-        def body(c, _):
-            ctx = structure._prep_ctx(c, h, mass, cfg, st)
-            return c + 1e-12 * ctx.t["x"][0], None
-        out, _ = jax.lax.scan(body, p, None, length=k_)
-        return out
-    timed("prep (sorts)", prep_k, pos, k=args.k)
+    if on("prep"):
+        def prep_k(p, hh, m, st_, k_):
+            def body(c, _):
+                ctx = structure._prep_ctx(c, hh, m, cfg, st_)
+                return c + 1e-12 * ctx.t["x"][0], None
+            out, _ = jax.lax.scan(body, p, None, length=k_)
+            return out
+        timed("prep (sorts)", prep_k, (pos, h, mass, st), k=args.k)
 
-    ctx = jax.jit(lambda p: structure._prep_ctx(p, h, mass, cfg, st))(pos)
-    bsz, chunk = cfg.nbr_group_size, cfg.block_chunk
+    ctx = jax.jit(lambda p, hh, m, st_: structure._prep_ctx(p, hh, m, cfg,
+                                                            st_))(
+        pos, h, mass, st)
+    scols = structure._geom(ctx.s)
 
-    # ---- window gathers ----
-    def gath_k(p, k_):
-        def body(c, _):
-            s = dict(ctx.s); s["x"] = s["x"] + c
-            rows = structure._window_gather(structure._geom(s), st.sph_idx,
-                                            ctx.nb, bsz, chunk)
-            return c + 1e-12 * rows[0][0, 0], None
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
-        return out
-    timed("window gather (sph geom x7)", gath_k, pos, k=args.k)
+    if on("gather"):
+        def gath_k(cols, idx, k_):
+            def body(c, _):
+                cols2 = [cols[0] + c] + cols[1:]
+                rows = structure._window_gather(cols2, idx, ctx.nb, bsz,
+                                                chunk)
+                return c + 1e-12 * rows[0][0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("window gather (sph geom x7)", gath_k, (scols, st.sph_idx),
+              k=args.k)
+        timed("window gather (p2p geom x7)", gath_k, (scols, st.p2p_idx),
+              k=args.k)
 
-    def gathp_k(p, k_):
-        def body(c, _):
-            s = dict(ctx.s); s["x"] = s["x"] + c
-            rows = structure._window_gather(structure._geom(s), st.p2p_idx,
-                                            ctx.nb, bsz, chunk)
-            return c + 1e-12 * rows[0][0, 0], None
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
-        return out
-    timed("window gather (p2p geom x7)", gathp_k, pos, k=args.k)
-
-    # ---- individual kernels (rows pre-gathered, frozen) ----
-    geom_rows = jax.jit(lambda: structure._window_gather(
-        structure._geom(ctx.s), st.sph_idx, ctx.nb, bsz, chunk))()
+    geom_rows = jax.jit(
+        lambda cols, idx: structure._window_gather(cols, idx, ctx.nb, bsz,
+                                                   chunk))(scols, st.sph_idx)
     nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
     t = ctx.t
     tgt1 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["m"], t["oid"])
 
-    def p1_k(x0, k_):
-        def body(c, _):
-            tg = [tgt1[0] + c] + tgt1[1:]
-            rho, nn = gk.pass1(nv, tg, geom_rows, b=bsz, chunk=chunk)
-            return c + 1e-12 * rho[0, 0], None
-        out, _ = jax.lax.scan(body, x0, None, length=k_)
-        return out
-    timed("pass1 kernel", p1_k, jnp.float32(0), k=args.k)
+    if on("pass1"):
+        def p1_k(tg, rows, nv_, k_):
+            def body(c, _):
+                tg2 = [tg[0] + c] + tg[1:]
+                rho, nn = gk.pass1(nv_, tg2, rows, b=bsz, chunk=chunk)
+                return c + 1e-12 * rho[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("pass1 kernel", p1_k, (tgt1, geom_rows, nv), k=args.k)
 
-    rho_t, nn_t, _ = jax.jit(lambda: structure._density_sweep(
-        ctx, cfg, st, src1=geom_rows))()
+    rho_t, nn_t, _ = jax.jit(
+        lambda c_, rows: structure._density_sweep(c_, cfg, st, src1=rows))(
+        ctx, geom_rows)
     prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
     tgt2 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"],
                            rho_t, prs_t)
-    extra_rows = jax.jit(lambda: structure._window_gather(
-        [ctx.s["x"] * 0 + rho_t, ctx.s["x"] * 0 + prs_t], st.sph_idx,
-        ctx.nb, bsz, chunk))()
+    extra_rows = jax.jit(
+        lambda cols, idx: structure._window_gather(cols, idx, ctx.nb, bsz,
+                                                   chunk))(
+        [rho_t, prs_t], st.sph_idx)
 
-    def p2_k(x0, k_):
-        def body(c, _):
-            tg = [tgt2[0] + c] + tgt2[1:]
-            gx, gy, gz = gk.pass2(nv, tg, geom_rows + extra_rows, b=bsz,
-                                  chunk=chunk, mode=cfg.grad_p_mode,
-                                  av=False, sign_bug=False)
-            return c + 1e-12 * gx[0, 0], None
-        out, _ = jax.lax.scan(body, x0, None, length=k_)
-        return out
-    timed("pass2 kernel", p2_k, jnp.float32(0), k=args.k)
+    if on("pass2"):
+        def p2_k(tg, rows, nv_, k_):
+            def body(c, _):
+                tg2 = [tg[0] + c] + tg[1:]
+                gx, gy, gz = gk.pass2(nv_, tg2, rows, b=bsz, chunk=chunk,
+                                      mode=cfg.grad_p_mode, av=False,
+                                      sign_bug=False)
+                return c + 1e-12 * gx[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("pass2 kernel", p2_k, (tgt2, geom_rows + extra_rows, nv),
+              k=args.k)
 
-    p2p_rows = jax.jit(lambda: structure._window_gather(
-        structure._geom(ctx.s), st.p2p_idx, ctx.nb, bsz, chunk))()
-    nvp = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
-    tgtp = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"])
+    if on("p2p"):
+        p2p_rows = jax.jit(
+            lambda cols, idx: structure._window_gather(
+                cols, idx, ctx.nb, bsz, chunk))(scols, st.p2p_idx)
+        nvp = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
+        tgtp = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"])
 
-    def p2p_k(x0, k_):
-        def body(c, _):
-            tg = [tgtp[0] + c] + tgtp[1:]
-            phi, gx, gy, gz, nd = gk.p2p(
-                nvp, tg, p2p_rows, b=bsz, chunk=chunk,
-                receiver_soft=cfg.softening_mode == "receiver_h",
-                g_const=cfg.g_const)
-            return c + 1e-12 * phi[0, 0], None
-        out, _ = jax.lax.scan(body, x0, None, length=k_)
-        return out
-    timed("p2p kernel", p2p_k, jnp.float32(0), k=args.k)
+        def p2p_k(tg, rows, nv_, k_):
+            def body(c, _):
+                tg2 = [tg[0] + c] + tg[1:]
+                phi, gx, gy, gz, nd = gk.p2p(
+                    nv_, tg2, rows, b=bsz, chunk=chunk,
+                    receiver_soft=cfg.softening_mode == "receiver_h",
+                    g_const=cfg.g_const)
+                return c + 1e-12 * phi[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("p2p kernel", p2p_k, (tgtp, p2p_rows, nvp), k=args.k)
 
-    def m2p_k(x0, k_):
-        def body(c, _):
-            phi, gx, gy, gz, na = structure._gravity_sweeps(
-                ctx._replace(t={**t, "x": t["x"] + c}), cfg, st)[:1] + (0,)*4 \
-                if False else (None,)*5
-            return c, None
-        return x0
-    # m2p via _gravity_sweeps (includes p2p); time the pair to subtract
-    def grav_k(x0, k_):
-        def body(c, _):
-            tt = dict(t); tt["x"] = tt["x"] + c
-            phi, gphi, nd, na = structure._gravity_sweeps(
-                ctx._replace(t=tt), cfg, st)
-            return c + 1e-12 * phi[0], None
-        out, _ = jax.lax.scan(body, x0, None, length=k_)
-        return out
-    timed("gravity sweeps (m2p+p2p+gather)", grav_k, jnp.float32(0),
-          k=args.k)
+    if on("m2p"):
+        def m2p_k(c_, st_, k_):
+            def body(c, _):
+                tt = dict(c_.t)
+                tt["x"] = tt["x"] + c
+                phi, gphi, nd, na = structure._gravity_sweeps(
+                    c_._replace(t=tt), cfg, st_)
+                return c + 1e-12 * phi[0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("gravity sweeps (m2p+p2p+gath)", m2p_k, (ctx, st), k=args.k)
 
-    # ---- unsort scatter ----
-    def unsort_k(x0, k_):
-        def body(c, _):
-            out = structure._unsort(st, cfg.n, jnp.float32,
-                                    [rho_t + c, prs_t], [nn_t])
-            return c + 1e-12 * out[0, 0], None
-        out, _ = jax.lax.scan(body, x0, None, length=k_)
-        return out
-    timed("unsort scatter (3 cols)", unsort_k, jnp.float32(0), k=args.k)
+    if on("unsort"):
+        def unsort_k(a, b, nn, st_, k_):
+            def body(c, _):
+                out = structure._unsort(st_, cfg.n, jnp.float32,
+                                        [a + c, b], [nn])
+                return c + 1e-12 * out[0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("unsort scatter (3 cols)", unsort_k, (rho_t, prs_t, nn_t, st),
+              k=args.k)
 
 
 if __name__ == "__main__":
