@@ -148,6 +148,14 @@ class SimConfig:
     # support radii cannot outgrow the cached cutoffs.
     rebuild_every: int = 1
     skin_safety: float = 2.0
+    # Re-run the Morton sort + block grouping only every `sort_every` steps
+    # (0: at every rebuild). Between sorts, rebuilds reuse the FROZEN group
+    # membership but recompute every AABB/centroid/window from current
+    # positions, so adjacency and MAC decisions stay exactly conservative —
+    # staleness only loosens block tightness (more candidates), never
+    # correctness. Rationale: a 100k argsort costs ~2.5s on this TPU
+    # (tools/profile_build.py) — the sort must amortize over many rebuilds.
+    sort_every: int = 0
 
     # ---- artificial viscosity (Monaghan 1992; new capability) ----
     # alpha=0 disables (the reference has no shock treatment). Typical
@@ -241,6 +249,8 @@ def jupiter_100k(**kw) -> SimConfig:
         gravity_solver="tree",
         neighbor_mode="grid",
         rebuild_every=16,  # overflow-free at this scale; K=24 overflows
+        sort_every=128,    # the ~2.5s 100k Morton argsort amortizes over 8
+                           # window rebuilds (see config field comment)
         nbr_window=96,     # measured n_src max 91 at this scale (skin incl.)
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.

@@ -293,14 +293,15 @@ def _uses_block_cache(cfg: SimConfig) -> bool:
     return cfg.neighbor_mode == "grid" or cfg.gravity_solver == "tree"
 
 
-def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None):
+def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
+                  groups=None):
     if not _uses_block_cache(cfg):
         return jnp.asarray(0, jnp.int32)
     from ..ops import structure
     if accel is None:
         accel = jnp.zeros_like(vel)
     skin = _skin(cfg, vel, accel)
-    return structure.build(pos, h, mass, cfg, skin=skin)
+    return structure.build(pos, h, mass, cfg, skin=skin, groups=groups)
 
 
 def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None) -> Forces:
@@ -406,11 +407,14 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     return Carry(new_state, tick + 1, st)
 
 
-def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
+def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
+                     groups=None, return_groups=False):
     """Rebuild structures once, then advance k fixed-structure steps.
 
-    Returns (state, info) where info carries the structure overflow
-    counters from the rebuild.
+    Returns (state, info) — or (state, info, groups) with
+    `return_groups=True` — where info carries the structure overflow
+    counters from the rebuild and groups is the Morton grouping used
+    (for cfg.sort_every reuse by subsequent chunks).
 
     The adaptive-h update is applied once at the chunk boundary so support
     radii cannot outgrow the cached cutoffs: the relaxation step
@@ -424,12 +428,13 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
                 and cfg.neighbor_mode == "grid"):
             from ..ops import structure
             state = state.replace(h=structure.solve_h_newton(
-                state.pos, state.h, state.mass, cfg, h_eta(cfg)))
+                state.pos, state.h, state.mass, cfg, h_eta(cfg),
+                groups=groups))
         else:
             state = state.replace(h=update_h(state.h, state.n_neighbors,
                                              cfg))
     st = _build_caches(state.pos, state.h, state.mass, state.vel,
-                       cfg, accel=state.accel)
+                       cfg, accel=state.accel, groups=groups)
     forces_fn = lambda p, hh, m, vel=None: _forces_cached(
         p, hh, m, cfg, st, vel=vel)
     if _uses_block_cache(cfg):
@@ -449,7 +454,55 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int):
         return one(s), None
 
     out, _ = jax.lax.scan(body, state, None, length=k)
+    if return_groups:
+        grps = st.groups if _uses_block_cache(cfg) else None
+        return out, info, grps
     return out, info
+
+
+def _run_cached_span(state: ParticleState, cfg: SimConfig, n_steps: int):
+    """Advance n_steps on the cached pipeline with static control flow:
+    windows rebuilt every rebuild_every steps, the Morton sort/grouping
+    redone only every sort_every steps (both amortizations are loud-
+    overflow-safe; see run_chunk_cached). Returns (state, summed info)."""
+    zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32)}
+    add = lambda a, b: jax.tree.map(jnp.add, a, b)
+    k = cfg.rebuild_every
+    n_outer, rem = divmod(n_steps, k)
+    s_chunks = 1
+    if cfg.sort_every and _uses_block_cache(cfg):
+        s_chunks = max(1, cfg.sort_every // k)
+    n_per, rem_chunks = divmod(n_outer, s_chunks)
+
+    def period(carry, _):
+        s, acc = carry
+        s, info, grps = run_chunk_cached(s, cfg, k, return_groups=True)
+        acc = add(acc, info)
+        if s_chunks > 1:
+            def cb(c2, _):
+                s2, a2 = c2
+                s2, i2 = run_chunk_cached(s2, cfg, k, groups=grps)
+                return (s2, add(a2, i2)), None
+            (s, acc), _ = jax.lax.scan(cb, (s, acc), None,
+                                       length=s_chunks - 1)
+        return (s, acc), None
+
+    info = zero
+    if n_per:
+        (state, info), _ = jax.lax.scan(period, (state, zero), None,
+                                        length=n_per)
+    if rem_chunks:
+        def body_c(carry, _):
+            s, acc = carry
+            s2, i2 = run_chunk_cached(s, cfg, k)
+            return (s2, add(acc, i2)), None
+        (state, info), _ = jax.lax.scan(body_c, (state, info), None,
+                                        length=rem_chunks)
+    if rem:
+        state, info_r = run_chunk_cached(state, cfg, rem)
+        info = add(info, info_r)
+    return state, info
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
@@ -464,18 +517,7 @@ def run_info(state: ParticleState, cfg: SimConfig, n_steps: int):
     zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
             "tree_overflow": jnp.asarray(0, jnp.int32)}
     if cfg.rebuild_every > 1:
-        k = cfg.rebuild_every
-        n_outer, rem = divmod(n_steps, k)
-        def body_c(carry, _):
-            s, acc = carry
-            s2, info = run_chunk_cached(s, cfg, k)
-            return (s2, jax.tree.map(jnp.add, acc, info)), None
-        (state, info), _ = jax.lax.scan(body_c, (state, zero), None,
-                                        length=n_outer)
-        if rem:
-            state, info_r = run_chunk_cached(state, cfg, rem)
-            info = jax.tree.map(jnp.add, info, info_r)
-        return state, info
+        return _run_cached_span(state, cfg, n_steps)
 
     def body(s, _):
         return step(s, cfg), None
@@ -500,17 +542,8 @@ def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
     from ..utils import diagnostics
 
     if cfg.rebuild_every > 1:
-        k = cfg.rebuild_every
-        n_inner, rem_inner = divmod(chunk, k)
         def outer_c(s, _):
-            def inner_c(carry, _):
-                s2, info2 = run_chunk_cached(carry, cfg, k)
-                return s2, info2
-            s, infos = jax.lax.scan(inner_c, s, None, length=n_inner)
-            info = jax.tree.map(lambda x: jnp.sum(x), infos)
-            if rem_inner:
-                s, info_r = run_chunk_cached(s, cfg, rem_inner)
-                info = jax.tree.map(jnp.add, info, info_r)
+            s, info = _run_cached_span(s, cfg, chunk)
             d = diagnostics.measure(s, cfg)
             d.update({k2: v.astype(jnp.int32) for k2, v in info.items()})
             return s, d

@@ -30,6 +30,11 @@ class Groups(NamedTuple):
     live: jax.Array         # [G,B] slot validity (False: duplicate/padding)
     scatter_to: jax.Array   # [G*B] original index, or n for dead slots
     order: jax.Array        # [N]   the Morton sort used (original indices)
+    unsort_idx: jax.Array   # [N]   the live slot holding each original
+                            #       particle (inverse of scatter_to) — lets
+                            #       sorted->original be a GATHER (TPU
+                            #       scatters of packed columns measured 10x
+                            #       slower, tools/profile_block.py)
 
 
 def n_groups_static(n: int, bsz: int, lg_max: int) -> int:
@@ -82,4 +87,6 @@ def cell_groups(pos, lo, hi, bsz: int, lg_max: int) -> Groups:
     tgt_idx = order[slot.reshape(-1)]                            # [G*B]
     scatter_to = jnp.where(live.reshape(-1), tgt_idx,
                            jnp.asarray(n, jnp.int32))
-    return Groups(tgt_idx, live, scatter_to, order)
+    unsort_idx = jnp.zeros((n,), jnp.int32).at[scatter_to].set(
+        jnp.arange(scatter_to.shape[0], dtype=jnp.int32), mode="drop")
+    return Groups(tgt_idx, live, scatter_to, order, unsort_idx)

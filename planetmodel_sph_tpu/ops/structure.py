@@ -99,7 +99,7 @@ def _block_stats(pos_b, h_b, m_b, live):
 
 def build(pos, h, mass, cfg: SimConfig, skin=0.0,
           src=None, target_offset: int = 0,
-          h_margin: float = 0.0) -> BlockStructure:
+          h_margin: float = 0.0, groups=None) -> BlockStructure:
     """Build windows + MAC mask for the current positions/smoothing lengths.
 
     `skin`: Verlet margin — cutoffs widened by 2*skin, MAC boxes inflated by
@@ -109,6 +109,10 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     shard, sources = all-gathered global set).
     `h_margin`: cutoffs additionally widened by (1+h_margin) on h — room for
     a bounded Newton h-solve between rebuilds.
+    `groups`: a frozen ``grouping.Groups`` to reuse instead of re-sorting
+    (cfg.sort_every amortization; single-set only). Every AABB/centroid/
+    window is still recomputed from the CURRENT positions, so the structure
+    stays exactly conservative — staleness only loosens block tightness.
     """
     single = src is None
     pos_s, h_s, mass_s = (pos, h, mass) if single else src
@@ -117,17 +121,24 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     chunk = cfg.block_chunk
     do_grav = cfg.gravity_solver == "tree"
 
-    # shared Morton bounding box (targets are a subset of sources under dp,
-    # but take the union to be safe)
-    live_s = mass_s > 0.0
-    big = jnp.asarray(3e30, pos.dtype)
-    lo = jnp.minimum(jnp.min(jnp.where(live_s[:, None], pos_s, big), axis=0),
-                     jnp.min(pos, axis=0))
-    hi = jnp.maximum(jnp.max(jnp.where(live_s[:, None], pos_s, -big), axis=0),
-                     jnp.max(pos, axis=0))
-
-    tgrp = grouping.cell_groups(pos, lo, hi, bsz, lg)
-    sgrp = tgrp if single else grouping.cell_groups(pos_s, lo, hi, bsz, lg)
+    if groups is not None:
+        if not single:
+            raise ValueError("frozen groups are a single-set optimization")
+        tgrp = sgrp = groups
+    else:
+        # shared Morton bounding box (targets are a subset of sources under
+        # dp, but take the union to be safe)
+        live_s = mass_s > 0.0
+        big = jnp.asarray(3e30, pos.dtype)
+        lo = jnp.minimum(
+            jnp.min(jnp.where(live_s[:, None], pos_s, big), axis=0),
+            jnp.min(pos, axis=0))
+        hi = jnp.maximum(
+            jnp.max(jnp.where(live_s[:, None], pos_s, -big), axis=0),
+            jnp.max(pos, axis=0))
+        tgrp = grouping.cell_groups(pos, lo, hi, bsz, lg)
+        sgrp = tgrp if single else grouping.cell_groups(pos_s, lo, hi, bsz,
+                                                        lg)
     g = tgrp.live.shape[0]
     nb = sgrp.live.shape[0]
 
@@ -274,10 +285,7 @@ def _to_source_layout(x, st: BlockStructure, gather_fn):
     grouping."""
     if gather_fn is None:
         return x
-    tgrp = st.groups
-    n_local = tgrp.order.shape[0]
-    local = jnp.zeros((n_local,), x.dtype).at[tgrp.scatter_to].set(
-        x, mode="drop")
+    local = x[st.groups.unsort_idx]
     return gather_fn(local)[st.src_groups.tgt_idx]
 
 
@@ -375,14 +383,14 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     return phi, grad_phi, nd_c[:, 0], na_c[:, 0]
 
 
-def _unsort(st: BlockStructure, n, dtype, f32_fields, i32_fields):
-    """One packed row scatter back to the original target order."""
-    cols = [f[:, None] if f.ndim == 1 else f for f in f32_fields]
-    cols += [f.astype(dtype)[:, None] for f in i32_fields]
-    packed = jnp.concatenate(cols, axis=-1)
-    out = jnp.zeros((n, packed.shape[1]), dtype).at[
-        st.groups.scatter_to].set(packed, mode="drop")
-    return out
+def _unsort(st: BlockStructure, fields):
+    """Sorted [G*B] fields back to original order, as a list.
+
+    Gathers through the grouping's inverse permutation — a packed-column
+    scatter costs ~10x more on TPU (tools/profile_block.py). Vector fields
+    ([G*B, k]) come back as [N, k]."""
+    inv = st.groups.unsort_idx
+    return [f[inv] for f in fields]
 
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
@@ -463,15 +471,11 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         nd_t = jnp.zeros_like(nn_t)
         na_t = jnp.zeros_like(nn_t)
 
-    out = _unsort(st, n, pos.dtype,
-                  [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t],
-                  [nn_t, nd_t, na_t])
+    rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o = _unsort(
+        st, [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t, nn_t, nd_t, na_t])
     return BlockForces(
-        rho=out[:, 0], pressure=out[:, 1], grad_p=out[:, 2:5],
-        phi=out[:, 5], grad_phi=out[:, 6:9],
-        n_neighbors=out[:, 9].astype(jnp.int32),
-        n_direct=out[:, 10].astype(jnp.int32),
-        n_approx=out[:, 11].astype(jnp.int32))
+        rho=rho_o, pressure=prs_o, grad_p=gp_o, phi=phi_o, grad_phi=gphi_o,
+        n_neighbors=nn_o, n_direct=nd_o, n_approx=na_o)
 
 
 def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
@@ -484,13 +488,11 @@ def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
                     target_offset=target_offset)
     phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st)
-    out = _unsort(st, n, pos.dtype, [phi_t, grad_phi_t], [nd_t, na_t])
-    return (out[:, 0], out[:, 1:4], out[:, 4].astype(jnp.int32),
-            out[:, 5].astype(jnp.int32))
+    return tuple(_unsort(st, [phi_t, grad_phi_t, nd_t, na_t]))
 
 
 def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
-                   src=None, target_offset=0):
+                   src=None, target_offset=0, groups=None):
     """Fixed-point solve of h = eta (m/rho(h))^(1/3) on the block pipeline.
 
     Builds a throwaway structure whose cutoffs are widened by the clamp
@@ -500,7 +502,7 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     """
     c = cfg.h_newton_clamp
     st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
-               h_margin=c)
+               h_margin=c, groups=groups)
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
                     target_offset=target_offset)
     h0 = ctx.t["h"]
@@ -514,10 +516,9 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
         rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t,
                                      src1=rows)
         h_t = jnp.clip(eta * jnp.cbrt(m_t / rho_t), lo, hi)
-    out = _unsort(st, pos.shape[0], pos.dtype, [h_t], [])
-    new_h = out[:, 0]
-    # dead scatter slots (none in practice) keep the old h
-    return jnp.where(new_h > 0, new_h, h)
+    # every original particle has exactly one live slot, so the inverse-
+    # permutation gather covers all of them
+    return _unsort(st, [h_t])[0]
 
 
 def overflow_info(st: BlockStructure):

@@ -24,7 +24,9 @@ from planetmodel_sph_tpu.ops.pallas.pairwise import _on_tpu
 
 def timed(label, fn, args, k=8):
     f = jax.jit(fn, static_argnames=("k_",))
-    float(jnp.sum(f(*args, k_=1)))
+    # warm with the SAME static k_ — a different k_ compiles a different
+    # executable, putting the (remote, slow) compile inside the timed region
+    float(jnp.sum(f(*args, k_=k)))
     t0 = time.perf_counter()
     s = float(jnp.sum(f(*args, k_=k)))
     dt = (time.perf_counter() - t0) / k

@@ -28,7 +28,9 @@ from planetmodel_sph_tpu.ops.pallas import groups as gk
 
 def timed(label, fn, args, k=8):
     f = jax.jit(fn, static_argnames=("k_",))
-    float(jnp.sum(f(*args, k_=1)))           # warmup/compile
+    # warm with the SAME static k_ — a different k_ compiles a different
+    # executable, putting the (remote, slow) compile inside the timed region
+    float(jnp.sum(f(*args, k_=k)))
     t0 = time.perf_counter()
     s = float(jnp.sum(f(*args, k_=k)))
     dt = (time.perf_counter() - t0) / k
@@ -171,27 +173,31 @@ def main():
         timed("p2p kernel", p2p_k, (tgtp, p2p_rows, nvp), k=args.k)
 
     if on("m2p"):
-        def m2p_k(c_, st_, k_):
+        from planetmodel_sph_tpu.ops.pallas import groups as gkm
+        nbp = st.accept.shape[1]
+        summ = [jax.random.normal(jax.random.PRNGKey(7 + i), (1, nbp))
+                for i in range(4)]
+        tgtm = structure._cols(t["x"], t["y"], t["z"])
+
+        def m2p_k(tg, sm, acc, k_):
             def body(c, _):
-                tt = dict(c_.t)
-                tt["x"] = tt["x"] + c
-                phi, gphi, nd, na = structure._gravity_sweeps(
-                    c_._replace(t=tt), cfg, st_)
-                return c + 1e-12 * phi[0], None
+                tg2 = [tg[0] + c] + tg[1:]
+                phi, gx, gy, gz, na = gkm.m2p(tg2, sm, acc, b=bsz,
+                                              chunk=chunk, g_const=1.0)
+                return c + 1e-12 * phi[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
-        timed("gravity sweeps (m2p+p2p+gath)", m2p_k, (ctx, st), k=args.k)
+        timed("m2p kernel", m2p_k, (tgtm, summ, st.accept), k=args.k)
 
     if on("unsort"):
         def unsort_k(a, b, nn, st_, k_):
             def body(c, _):
-                out = structure._unsort(st_, cfg.n, jnp.float32,
-                                        [a + c, b], [nn])
-                return c + 1e-12 * out[0, 0], None
+                ra, rb, rn = structure._unsort(st_, [a + c, b, nn])
+                return c + 1e-12 * ra[0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
-        timed("unsort scatter (3 cols)", unsort_k, (rho_t, prs_t, nn_t, st),
-              k=args.k)
+        timed("unsort (inverse-perm gather x3)", unsort_k,
+              (rho_t, prs_t, nn_t, st), k=args.k)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,9 @@ from planetmodel_sph_tpu.ops import grouping, morton, structure
 
 def timed(label, fn, args, k=4):
     f = jax.jit(fn, static_argnames=("k_",))
-    float(jnp.sum(f(*args, k_=1)))
+    # warm with the SAME static k_ — a different k_ compiles a different
+    # executable, putting the (remote, slow) compile inside the timed region
+    float(jnp.sum(f(*args, k_=k)))
     t0 = time.perf_counter()
     s = float(jnp.sum(f(*args, k_=k)))
     dt = (time.perf_counter() - t0) / k
