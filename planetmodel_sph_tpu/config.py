@@ -172,6 +172,12 @@ class SimConfig:
 
     # ---- numerics ----
     dtype: str = "float32"
+    # Pair-tile arithmetic precision for the GRAVITY sweeps (P2P + M2P) on
+    # the block pipeline. 'bfloat16' runs the per-pair math at 2x VPU rate:
+    # separations are still computed in f32 (bf16 would lose ~16% on
+    # near-block dx), then cast — per-pair force error ~0.5%, below the
+    # theta=0.7 MAC's own approximation error. f32 accumulation either way.
+    grav_pair_dtype: Literal["float32", "bfloat16"] = "float32"
 
     # ---- execution ----
     use_pallas: bool = True        # fused Pallas pairwise kernels on TPU
@@ -251,7 +257,8 @@ def jupiter_100k(**kw) -> SimConfig:
         rebuild_every=16,  # overflow-free at this scale; K=24 overflows
         sort_every=128,    # the ~2.5s 100k Morton argsort amortizes over 8
                            # window rebuilds (see config field comment)
-        nbr_window=96,     # measured n_src max 91 at this scale (skin incl.)
+        nbr_window=112,    # measured n_sph max 102 settled w/ K=16 skin
+        p2p_window=208,    # measured n_p2p max 174 settled w/ K=16 skin
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -64,6 +64,25 @@ def _spline_dw_dh(r2, inv_h):
     return -val * c
 
 
+def _dyer_ip_poly(dxx, dxy, dxz, x, m, inv_a, inv_r, near):
+    """Dyer-Ip softened gravity from precomputed x = r/a, 1/r, and the
+    near mask (any dtype).
+
+    Same math as pairwise._dyer_ip_tile, but rsqrt and the x<1 comparison
+    are hoisted out so the polynomial part can run in bf16 (v5e Mosaic
+    supports neither bf16 rsqrt nor bf16 compare)."""
+    x2 = x * x
+    x3 = x2 * x
+    inv_a3 = inv_a * inv_a * inv_a
+    inner_mag = (m * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+    inner_phi = -(m * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3 - 0.4 * x2 * x3)
+    outer_mag = m * inv_r * inv_r * inv_r
+    outer_phi = -m * inv_r
+    mag = jnp.where(near, inner_mag, outer_mag)
+    phi = jnp.where(near, inner_phi, outer_phi)
+    return dxx * mag, dxy * mag, dxz * mag, phi
+
+
 def _sweep(nv, rows, chunk, body, init):
     """fori_loop over [1, CHUNK] tiles of VMEM-resident row refs.
 
@@ -281,7 +300,7 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
 def _p2p_kernel(nv_ref, tx, ty, tz, tih, toid,
                 sx, sy, sz, sih, sm, soid, slv,
                 phi_ref, gx_ref, gy_ref, gz_ref, nd_ref,
-                *, chunk, receiver_soft, g_const):
+                *, chunk, receiver_soft, g_const, bf16=False):
     nv = nv_ref[pl.program_id(0)]
     txv, tyv, tzv, tihv, toidv = tx[:], ty[:], tz[:], tih[:], toid[:]
     rows = [sx, sy, sz, sih, sm, soid, slv]
@@ -289,18 +308,31 @@ def _p2p_kernel(nv_ref, tx, ty, tz, tih, toid,
     def body(c, carry, tiles, valid):
         phi_a, gx_a, gy_a, gz_a, nd_a = carry
         cx, cy, cz, cih, cm, coid, clv = tiles
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        dxx = txv - cx                  # separations in f32 (bf16 subtract
+        dxy = tyv - cy                  # of ~40-unit coords would lose the
+        dxz = tzv - cz                  # near-pair dx entirely)
         pair = valid & (clv > 0.5) & (toidv != coid)
         m_eff = jnp.where(pair, cm, 0.0)
         inv_a = tihv if receiver_soft else jnp.minimum(tihv, cih)
-        pgx, pgy, pgz, pphi = _dyer_ip_tile(dxx, dxy, dxz, r2, m_eff, inv_a)
-        return (phi_a + jnp.sum(pphi, axis=1, keepdims=True),
-                gx_a + jnp.sum(pgx, axis=1, keepdims=True),
-                gy_a + jnp.sum(pgy, axis=1, keepdims=True),
-                gz_a + jnp.sum(pgz, axis=1, keepdims=True),
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        if bf16:
+            # rsqrt and the x<1 compare stay f32 (v5e Mosaic supports
+            # neither in bf16); the polynomial math runs in bf16
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            x = (r2 * inv_r) * inv_a
+            bf = lambda v: v.astype(jnp.bfloat16)
+            pgx, pgy, pgz, pphi = _dyer_ip_poly(
+                bf(dxx), bf(dxy), bf(dxz), bf(x), bf(m_eff),
+                jnp.broadcast_to(bf(inv_a), dxx.shape), bf(inv_r),
+                x < 1.0)
+        else:
+            pgx, pgy, pgz, pphi = _dyer_ip_tile(dxx, dxy, dxz, r2, m_eff,
+                                                inv_a)
+        f32 = lambda x: x.astype(jnp.float32) if bf16 else x
+        return (phi_a + jnp.sum(f32(pphi), axis=1, keepdims=True),
+                gx_a + jnp.sum(f32(pgx), axis=1, keepdims=True),
+                gy_a + jnp.sum(f32(pgy), axis=1, keepdims=True),
+                gz_a + jnp.sum(f32(pgz), axis=1, keepdims=True),
                 nd_a + jnp.sum(jnp.where(pair & (cm > 0.0), 1, 0),
                                axis=1, keepdims=True))
 
@@ -315,14 +347,17 @@ def _p2p_kernel(nv_ref, tx, ty, tz, tih, toid,
     nd_ref[:] = nd_a
 
 
-def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const):
+def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False):
     """Near-field gravity sweep (``GravityFieldSystem.cs:332-356`` analog).
 
     tgt cols: x,y,z,inv_h,oid. src rows: x,y,z,inv_h,m,oid,live.
-    Returns (phi, gx, gy, gz, n_direct) columns.
+    Returns (phi, gx, gy, gz, n_direct) columns. `bf16` runs the per-pair
+    math in bfloat16 (f32 separations and accumulation; see SimConfig.
+    grav_pair_dtype).
     """
     kern = functools.partial(_p2p_kernel, chunk=chunk,
-                             receiver_soft=receiver_soft, g_const=g_const)
+                             receiver_soft=receiver_soft, g_const=g_const,
+                             bf16=bf16)
     return _call(kern, n_tgt=5, n_src=7,
                  out_dtypes=[jnp.float32] * 4 + [jnp.int32], smem=[nv],
                  tgt_cols=tgt, src_rows=src, b=b)
@@ -334,7 +369,7 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const):
 
 def _m2p_kernel(tx, ty, tz, bm, bx, by, bz, acc,
                 phi_ref, gx_ref, gy_ref, gz_ref, na_ref,
-                *, chunk, g_const):
+                *, chunk, g_const, bf16=False):
     txv, tyv, tzv = tx[:], ty[:], tz[:]
     rows = [bm, bx, by, bz, acc]
     nbpad = rows[0].shape[-1]
@@ -344,16 +379,23 @@ def _m2p_kernel(tx, ty, tz, bm, bx, by, bz, acc,
         cm_, cx, cy, cz, cacc = tiles
         use = (cacc > 0.5) & (cm_ > 0.0)
         m_eff = jnp.where(use, cm_, 0.0)
-        dxx = txv - cx
+        dxx = txv - cx                  # f32 separations (see _p2p_kernel)
         dxy = tyv - cy
         dxz = tzv - cz
         r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))   # f32 rsqrt (v5e
+        if bf16:                                        # has no bf16 rsqrt)
+            dxx = dxx.astype(jnp.bfloat16)
+            dxy = dxy.astype(jnp.bfloat16)
+            dxz = dxz.astype(jnp.bfloat16)
+            m_eff = m_eff.astype(jnp.bfloat16)
+            inv_r = inv_r.astype(jnp.bfloat16)
         mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
-        return (phi_a + jnp.sum(-m_eff * inv_r, axis=1, keepdims=True),
-                gx_a + jnp.sum(dxx * mag, axis=1, keepdims=True),
-                gy_a + jnp.sum(dxy * mag, axis=1, keepdims=True),
-                gz_a + jnp.sum(dxz * mag, axis=1, keepdims=True),
+        f32 = lambda x: x.astype(jnp.float32) if bf16 else x
+        return (phi_a + jnp.sum(f32(-m_eff * inv_r), axis=1, keepdims=True),
+                gx_a + jnp.sum(f32(dxx * mag), axis=1, keepdims=True),
+                gy_a + jnp.sum(f32(dxy * mag), axis=1, keepdims=True),
+                gz_a + jnp.sum(f32(dxz * mag), axis=1, keepdims=True),
                 na_a + jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True))
 
     z = jnp.zeros((txv.shape[0], 1), jnp.float32)
@@ -367,7 +409,7 @@ def _m2p_kernel(tx, ty, tz, bm, bx, by, bz, acc,
     na_ref[:] = na_a
 
 
-def m2p(tgt, summaries, accept, *, b, chunk, g_const):
+def m2p(tgt, summaries, accept, *, b, chunk, g_const, bf16=False):
     """Far-field sweep over ALL source blocks, masked by the frozen per-
     (group, block) MAC acceptance (``GravityFieldSystem.cs:428-442`` analog,
     at source-block granularity — finer, hence strictly more accurate, than
@@ -386,7 +428,8 @@ def m2p(tgt, summaries, accept, *, b, chunk, g_const):
                         memory_space=pltpu.VMEM)
     outs = [jax.ShapeDtypeStruct((g * b, 1), jnp.float32)] * 4 + \
            [jax.ShapeDtypeStruct((g * b, 1), jnp.int32)]
-    kern = functools.partial(_m2p_kernel, chunk=chunk, g_const=g_const)
+    kern = functools.partial(_m2p_kernel, chunk=chunk, g_const=g_const,
+                             bf16=bf16)
     return pl.pallas_call(
         kern,
         grid=(g,),

@@ -367,9 +367,10 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     nbp = st.accept.shape[1]
     rows = [jnp.pad(v, (0, nbp - nb))[None, :]
             for v in (bmass, cmx, cmy, cmz)]
+    bf16 = cfg.grav_pair_dtype == "bfloat16"
     phi_m, gmx, gmy, gmz, na_c = gk.m2p(
         _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
-        g_const=cfg.g_const)
+        g_const=cfg.g_const, bf16=bf16)
 
     nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
     srcp = _window_gather(_geom(s), st.p2p_idx, nb, bsz, chunk)
@@ -377,7 +378,7 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
         nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"]), srcp,
         b=bsz, chunk=chunk,
         receiver_soft=cfg.softening_mode == "receiver_h",
-        g_const=cfg.g_const)
+        g_const=cfg.g_const, bf16=bf16)
     phi = (phi_m + phi_p)[:, 0]
     grad_phi = jnp.concatenate([gmx + gpx2, gmy + gpy2, gmz + gpz2], axis=-1)
     return phi, grad_phi, nd_c[:, 0], na_c[:, 0]

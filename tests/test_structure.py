@@ -165,3 +165,20 @@ def test_overflow_counted_not_silent():
     pos, h, mass = _cloud(cfg.n, seed=4)
     st = structure.build(pos, h, mass, cfg)
     assert int(st.sph_overflow) > 0
+
+
+def test_bf16_gravity_close_to_f32():
+    # bf16 pair math on the gravity sweeps: error must stay well below the
+    # theta=0.7 MAC's own approximation error (~1e-2 vs direct)
+    cfg = _cfg(grad_p_mode="symmetric")
+    pos, h, mass = _cloud(cfg.n, seed=5)
+    st = structure.build(pos, h, mass, cfg)
+    f32 = structure.gravity(pos, h, mass, cfg, st)
+    b16 = structure.gravity(pos, h, mass,
+                            cfg.replace(grav_pair_dtype="bfloat16"), st)
+    np.testing.assert_allclose(b16[0], f32[0], rtol=5e-3)      # phi
+    scale = float(jnp.max(jnp.abs(f32[1])))
+    np.testing.assert_allclose(np.asarray(b16[1]) / scale,
+                               np.asarray(f32[1]) / scale, atol=1e-2)
+    np.testing.assert_array_equal(b16[2], f32[2])              # counters
+    np.testing.assert_array_equal(b16[3], f32[3])
