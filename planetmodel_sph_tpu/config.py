@@ -106,16 +106,25 @@ class SimConfig:
     #           candidate windows, dense tile evaluation) — the broadphase
     #           replacement for 10k+ particles
     neighbor_mode: Literal["dense", "grid"] = "dense"
-    nbr_group_size: int = 64       # particles per Morton block
-    nbr_window: int = 48           # adjacent source blocks per target block
-                                   # (overflow counted, never wrapped)
+    nbr_group_size: int = 64       # particles per Morton block (the TARGET
+                                   # tile height of every windowed sweep)
+    nbr_sub: int = 16              # SOURCE window granularity: windows list
+                                   # 16-particle sub-blocks, whose AABBs are
+                                   # ~1.6x tighter than whole blocks (fewer
+                                   # candidate pair-slots for the same
+                                   # physics; must divide nbr_group_size)
+    nbr_window: int = 192          # adjacent source SUB-blocks per target
+                                   # block (overflow counted, never wrapped)
     nbr_group_level: int = 4       # blocks never cross cells of this octree
                                    # level (kills Morton-seam blocks)
-    # Block-unified pipeline (ops/structure.py) static sizing: the gravity
-    # P2P window holds the MAC-rejected (near-field) source blocks per
-    # target block; block_chunk is the Pallas lane-tile width of every
+    # Block-unified pipeline (ops/structure.py) static sizing. Gravity is a
+    # three-tier partition per (target block, source): far blocks -> dense
+    # block-monopole scan (M2P); the in-between ring (block-MAC rejected,
+    # sub-MAC accepted) -> windowed SUB-block monopoles; near sub-blocks
+    # -> windowed P2P. block_chunk is the Pallas lane-tile width of every
     # windowed sweep. Overflow is dropped AND counted, never wrapped.
-    p2p_window: int = 192          # near-field source blocks per target block
+    p2p_window: int = 256          # near-field source sub-blocks per block
+    m2p_window: int = 256          # ring sub-block monopoles per block
     block_chunk: int = 512         # pair-tile lane width (multiple of 128)
 
     # ---- integration ----
@@ -213,7 +222,7 @@ def auto(**kw) -> SimConfig:
         kw.setdefault("neighbor_mode", "grid")
         kw.setdefault("gravity_solver", "tree")
         kw.setdefault("rebuild_every", 8)
-        kw.setdefault("nbr_window", 96)
+        kw.setdefault("nbr_window", 384)
     else:
         kw.setdefault("neighbor_mode", "dense")
         kw.setdefault("gravity_solver", "direct")
@@ -257,8 +266,11 @@ def jupiter_100k(**kw) -> SimConfig:
         rebuild_every=16,  # overflow-free at this scale; K=24 overflows
         sort_every=128,    # the ~2.5s 100k Morton argsort amortizes over 8
                            # window rebuilds (see config field comment)
-        nbr_window=112,    # measured n_sph max 102 settled w/ K=16 skin
-        p2p_window=208,    # measured n_p2p max 174 settled w/ K=16 skin
+        # window capacities in SUB-block units; sized from measured settled-
+        # state maxima with the K=16 skin (tools/ksweep) + headroom
+        nbr_window=320,
+        p2p_window=448,
+        m2p_window=320,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -438,8 +438,8 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
     forces_fn = lambda p, hh, m, vel=None: _forces_cached(
         p, hh, m, cfg, st, vel=vel)
     if _uses_block_cache(cfg):
-        info = {"nbr_overflow": st.sph_overflow,
-                "tree_overflow": st.p2p_overflow}
+        from ..ops import structure
+        info = structure.overflow_info(st)
     else:
         info = {"nbr_overflow": jnp.asarray(0, jnp.int32),
                 "tree_overflow": jnp.asarray(0, jnp.int32)}

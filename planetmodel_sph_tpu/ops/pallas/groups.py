@@ -364,6 +364,56 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False):
 
 
 # ---------------------------------------------------------------------------
+# gravity ring: windowed SUB-block monopoles (block-MAC rejected but
+# sub-MAC accepted — the middle tier of the three-tier partition)
+# ---------------------------------------------------------------------------
+
+def _m2p_ring_kernel(nv_ref, tx, ty, tz, sm, sx, sy, sz,
+                     phi_ref, gx_ref, gy_ref, gz_ref, na_ref,
+                     *, chunk, g_const):
+    nv = nv_ref[pl.program_id(0)]
+    txv, tyv, tzv = tx[:], ty[:], tz[:]
+    rows = [sm, sx, sy, sz]
+
+    def body(c, carry, tiles, valid):
+        phi_a, gx_a, gy_a, gz_a, na_a = carry
+        cm_, cx, cy, cz = tiles
+        use = valid & (cm_ > 0.0)
+        m_eff = jnp.where(use, cm_, 0.0)
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
+        return (phi_a + jnp.sum(-m_eff * inv_r, axis=1, keepdims=True),
+                gx_a + jnp.sum(dxx * mag, axis=1, keepdims=True),
+                gy_a + jnp.sum(dxy * mag, axis=1, keepdims=True),
+                gz_a + jnp.sum(dxz * mag, axis=1, keepdims=True),
+                na_a + jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True))
+
+    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
+    zi = jnp.zeros((txv.shape[0], 1), jnp.int32)
+    phi_a, gx_a, gy_a, gz_a, na_a = _sweep(nv, rows, chunk, body,
+                                           (z, z, z, z, zi))
+    phi_ref[:] = g_const * phi_a
+    gx_ref[:] = g_const * gx_a
+    gy_ref[:] = g_const * gy_a
+    gz_ref[:] = g_const * gz_a
+    na_ref[:] = na_a
+
+
+def m2p_ring(nv, tgt, src, *, b, chunk, g_const):
+    """Windowed sub-block-monopole sweep: each source lane is one sub-block
+    (mass, cm) entry. tgt cols: x,y,z. src rows: mass,cmx,cmy,cmz, each
+    [G, Wm_pad]. Returns (phi, gx, gy, gz, n_entries) columns."""
+    kern = functools.partial(_m2p_ring_kernel, chunk=chunk, g_const=g_const)
+    return _call(kern, n_tgt=3, n_src=4,
+                 out_dtypes=[jnp.float32] * 4 + [jnp.int32], smem=[nv],
+                 tgt_cols=tgt, src_rows=src, b=b)
+
+
+# ---------------------------------------------------------------------------
 # gravity M2P: block-monopole far field, gather-free
 # ---------------------------------------------------------------------------
 

@@ -50,15 +50,26 @@ from .pallas import groups as gk
 
 
 class BlockStructure(NamedTuple):
+    """Frozen interaction structure.
+
+    Source windows are at SUB-block granularity (cfg.nbr_sub particles,
+    tighter AABBs -> fewer candidate pair-slots); gravity is a three-tier
+    partition per (target block, source): block-MAC-accepted blocks feed
+    the dense block-monopole scan (`accept`), the in-between ring
+    (block-rejected, sub-accepted) feeds windowed sub-block monopoles
+    (`m2p_idx`), near sub-blocks feed windowed P2P (`p2p_idx`)."""
     groups: grouping.Groups      # target grouping (frozen Morton sort)
     src_groups: grouping.Groups  # source grouping (same object single-set)
-    sph_idx: jax.Array           # [G, Ws] adjacent source-block ids
+    sph_idx: jax.Array           # [G, Ws] adjacent source sub-block ids
     n_sph: jax.Array             # [G]    true adjacency row sizes
-    p2p_idx: jax.Array           # [G, Wp] MAC-rejected source-block ids
+    p2p_idx: jax.Array           # [G, Wp] near-field sub-block ids
     n_p2p: jax.Array             # [G]
-    accept: jax.Array            # [G, NBpad] f32 frozen M2P acceptance
+    m2p_idx: jax.Array           # [G, Wm] ring sub-block ids (monopoles)
+    n_m2p: jax.Array             # [G]
+    accept: jax.Array            # [G, NBpad] f32 frozen block-M2P mask
     sph_overflow: jax.Array      # [] dropped SPH window entries
     p2p_overflow: jax.Array      # [] dropped P2P window entries
+    m2p_overflow: jax.Array      # [] dropped ring window entries
 
 
 def _nbpad(nb: int, chunk: int) -> int:
@@ -142,6 +153,12 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     g = tgrp.live.shape[0]
     nb = sgrp.live.shape[0]
 
+    sub = cfg.nbr_sub
+    if bsz % sub:
+        raise ValueError("nbr_sub must divide nbr_group_size")
+    spb = bsz // sub
+    nsub = nb * spb
+
     # target-block AABBs + max h (duplicate slots replicate real members, so
     # plain min/max give the true bbox)
     pos_t = pos[tgrp.tgt_idx].reshape(g, bsz, 3)
@@ -151,18 +168,23 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     t_hmax = jnp.max(jnp.where(tgrp.live, h_t, 0.0), axis=1)
     tvalid = jnp.any(tgrp.live, axis=1)
 
-    # source-block summaries
+    # source summaries at both granularities: whole blocks (far-field MAC)
+    # and sub-blocks (adjacency + near-field MAC)
     pos_sb = pos_s[sgrp.tgt_idx].reshape(nb, bsz, 3)
     h_sb = h_s[sgrp.tgt_idx].reshape(nb, bsz)
     m_sb = mass_s[sgrp.tgt_idx].reshape(nb, bsz)
+    b_mass, b_cm, _, _, b_bmax2, _ = _block_stats(pos_sb, h_sb, m_sb,
+                                                  sgrp.live)
+    bvalid = b_mass > 0.0
     s_mass, s_cm, s_amin, s_amax, s_bmax2, s_hmax = _block_stats(
-        pos_sb, h_sb, m_sb, sgrp.live)
+        pos_sb.reshape(nsub, sub, 3), h_sb.reshape(nsub, sub),
+        m_sb.reshape(nsub, sub), sgrp.live.reshape(nsub, sub))
     svalid = s_mass > 0.0
 
-    # ---- one [G, NB] geometry pass for both decisions ----
+    # ---- [G, NSUB] geometry pass: SPH adjacency ----
     gap = jnp.maximum(
         jnp.maximum(tlo[:, None, :] - s_amax[None, :, :],
-                    s_amin[None, :, :] - thi[:, None, :]), 0.0)  # [G,NB,3]
+                    s_amin[None, :, :] - thi[:, None, :]), 0.0)
     gap2 = jnp.sum(gap * gap, axis=-1)
     cut = (cfg.kappa * (1.0 + h_margin)
            * jnp.maximum(t_hmax[:, None], s_hmax[None, :]) + 2.0 * skin)
@@ -171,24 +193,39 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
 
     if do_grav:
         pad_sk = 3.5 * skin
-        d = jnp.maximum(
-            jnp.maximum((tlo[:, None, :] - pad_sk) - s_cm[None, :, :],
-                        s_cm[None, :, :] - (thi[:, None, :] + pad_sk)), 0.0)
-        rmin2 = jnp.sum(d * d, axis=-1)
-        mac = accept_bmax(rmin2, s_bmax2[None, :], cfg.theta)
-        p2p = (~mac) & tvalid[:, None] & svalid[None, :]
-        p2p_idx, n_p2p, p2p_over = _compact_rows(p2p, cfg.p2p_window)
-        accept = (mac & svalid[None, :]).astype(jnp.float32)
+        tlo_p = tlo[:, None, :] - pad_sk
+        thi_p = thi[:, None, :] + pad_sk
+        # block-level MAC -> dense block-monopole scan
+        db = jnp.maximum(jnp.maximum(tlo_p - b_cm[None, :, :],
+                                     b_cm[None, :, :] - thi_p), 0.0)
+        mac_blk = accept_bmax(jnp.sum(db * db, axis=-1),
+                              b_bmax2[None, :], cfg.theta)
+        # sub-level MAC on the block-rejected remainder
+        ds = jnp.maximum(jnp.maximum(tlo_p - s_cm[None, :, :],
+                                     s_cm[None, :, :] - thi_p), 0.0)
+        mac_sub = accept_bmax(jnp.sum(ds * ds, axis=-1),
+                              s_bmax2[None, :], cfg.theta)
+        blk_exp = jnp.repeat(mac_blk & bvalid[None, :], spb, axis=1)
+        rest = (~blk_exp) & tvalid[:, None] & svalid[None, :]
+        ring = rest & mac_sub          # sub-block monopole tier
+        near = rest & (~mac_sub)       # P2P tier
+        m2p_idx, n_m2p, m2p_over = _compact_rows(ring, cfg.m2p_window)
+        p2p_idx, n_p2p, p2p_over = _compact_rows(near, cfg.p2p_window)
+        accept = (mac_blk & bvalid[None, :]).astype(jnp.float32)
         nbp = _nbpad(nb, chunk)
         accept = jnp.pad(accept, ((0, 0), (0, nbp - nb)))
     else:
         p2p_idx = jnp.full((g, cfg.p2p_window), -1, jnp.int32)
         n_p2p = jnp.zeros((g,), jnp.int32)
         p2p_over = jnp.asarray(0, jnp.int32)
+        m2p_idx = jnp.full((g, cfg.m2p_window), -1, jnp.int32)
+        n_m2p = jnp.zeros((g,), jnp.int32)
+        m2p_over = jnp.asarray(0, jnp.int32)
         accept = jnp.zeros((g, _nbpad(nb, chunk)), jnp.float32)
 
     return BlockStructure(tgrp, sgrp, sph_idx, n_sph, p2p_idx, n_p2p,
-                          accept, sph_over, p2p_over)
+                          m2p_idx, n_m2p, accept, sph_over, p2p_over,
+                          m2p_over)
 
 
 # ---------------------------------------------------------------------------
@@ -330,14 +367,16 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     the cutoffs by its h_margin). `src1` reuses pre-gathered geometry rows.
     """
     bsz = cfg.nbr_group_size
+    sub = cfg.nbr_sub
     chunk = cfg.block_chunk
     gradh = cfg.grad_p_mode == "grad_h"
     t, s = ctx.t, ctx.s
     tih = t["ih"] if t_ih is None else t_ih
     th = t["h"] if t_h is None else t_h
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
+    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
     if src1 is None:
-        src1 = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
+        src1 = _window_gather(_geom(s), st.sph_idx,
+                              ctx.nb * (bsz // sub), sub, chunk)
     tgt1 = _cols(t["x"], t["y"], t["z"], tih, t["m"], t["oid"])
     if gradh:
         rho_c, nn_c, xi_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk,
@@ -349,39 +388,68 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0], None
 
 
+def _entry_gather(cols, idx, chunk):
+    """Per-entry (one value per window slot) gathers, padded to chunk."""
+    g, w = idx.shape
+    safe = jnp.clip(idx, 0, cols[0].shape[0] - 1)
+    pad = _nbpad(w, chunk) - w
+    return [jnp.pad(c[safe], ((0, 0), (0, pad))) for c in cols]
+
+
 def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
-    """M2P (gather-free, current block monopoles) + P2P sweeps."""
+    """Three-tier gravity: dense block-monopole scan (M2P, gather-free,
+    current moments) + windowed sub-block-monopole ring + sub-granular P2P.
+    """
     bsz = cfg.nbr_group_size
+    sub = cfg.nbr_sub
     chunk = cfg.block_chunk
     t, s = ctx.t, ctx.s
     nb = ctx.nb
+    nsub = nb * (bsz // sub)
     sgrp = st.src_groups if not ctx.single else st.groups
 
-    live2 = sgrp.live.reshape(nb, bsz)
-    m_live = jnp.where(live2, s["m"].reshape(nb, bsz), 0.0)
-    bmass = jnp.sum(m_live, axis=1)                     # current moments
-    inv_bm = 1.0 / jnp.maximum(bmass, 1e-30)
-    cmx = jnp.sum(m_live * s["x"].reshape(nb, bsz), axis=1) * inv_bm
-    cmy = jnp.sum(m_live * s["y"].reshape(nb, bsz), axis=1) * inv_bm
-    cmz = jnp.sum(m_live * s["z"].reshape(nb, bsz), axis=1) * inv_bm
+    def moments(n_units, usz):
+        live2 = sgrp.live.reshape(n_units, usz)
+        m_live = jnp.where(live2, s["m"].reshape(n_units, usz), 0.0)
+        um = jnp.sum(m_live, axis=1)                    # current moments
+        inv = 1.0 / jnp.maximum(um, 1e-30)
+        cx = jnp.sum(m_live * s["x"].reshape(n_units, usz), axis=1) * inv
+        cy = jnp.sum(m_live * s["y"].reshape(n_units, usz), axis=1) * inv
+        cz = jnp.sum(m_live * s["z"].reshape(n_units, usz), axis=1) * inv
+        return um, cx, cy, cz
+
+    bf16 = cfg.grav_pair_dtype == "bfloat16"
+
+    # far tier: dense scan over block monopoles under the frozen mask
+    bmass, cmx, cmy, cmz = moments(nb, bsz)
     nbp = st.accept.shape[1]
     rows = [jnp.pad(v, (0, nbp - nb))[None, :]
             for v in (bmass, cmx, cmy, cmz)]
-    bf16 = cfg.grav_pair_dtype == "bfloat16"
     phi_m, gmx, gmy, gmz, na_c = gk.m2p(
         _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
         g_const=cfg.g_const, bf16=bf16)
 
-    nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
-    srcp = _window_gather(_geom(s), st.p2p_idx, nb, bsz, chunk)
+    # ring tier: windowed sub-block monopoles (current moments)
+    smass, scx, scy, scz = moments(nsub, sub)
+    ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx, chunk)
+    nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
+    phi_r, grx, gry, grz, nr_c = gk.m2p_ring(
+        nv_ring, _cols(t["x"], t["y"], t["z"]), ring_rows, b=bsz,
+        chunk=chunk, g_const=cfg.g_const)
+
+    # near tier: particle-particle over sub-block windows
+    nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
+    srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
     phi_p, gpx2, gpy2, gpz2, nd_c = gk.p2p(
         nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"]), srcp,
         b=bsz, chunk=chunk,
         receiver_soft=cfg.softening_mode == "receiver_h",
         g_const=cfg.g_const, bf16=bf16)
-    phi = (phi_m + phi_p)[:, 0]
-    grad_phi = jnp.concatenate([gmx + gpx2, gmy + gpy2, gmz + gpz2], axis=-1)
-    return phi, grad_phi, nd_c[:, 0], na_c[:, 0]
+
+    phi = (phi_m + phi_r + phi_p)[:, 0]
+    grad_phi = jnp.concatenate(
+        [gmx + grx + gpx2, gmy + gry + gpy2, gmz + grz + gpz2], axis=-1)
+    return phi, grad_phi, nd_c[:, 0], (na_c + nr_c)[:, 0]
 
 
 def _unsort(st: BlockStructure, fields):
@@ -414,6 +482,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     """
     n = pos.shape[0]
     bsz = cfg.nbr_group_size
+    sub = cfg.nbr_sub
     chunk = cfg.block_chunk
     do_grav = cfg.gravity_solver == "tree"
     gradh = cfg.grad_p_mode == "grad_h"
@@ -427,10 +496,11 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
                     src=src, target_offset=target_offset,
                     sorted_io=sorted_io)
     t, s = ctx.t, ctx.s
+    nsub = ctx.nb * (bsz // sub)
 
-    # gather the geometry channels ONCE; pass 1, pass 2 (and, single-set,
-    # the P2P sweep via its own windows) reuse the same row arrays
-    geom_rows = _window_gather(_geom(s), st.sph_idx, ctx.nb, bsz, chunk)
+    # gather the geometry channels ONCE; pass 1 and pass 2 reuse the same
+    # row arrays (the P2P sweep gathers via its own windows)
+    geom_rows = _window_gather(_geom(s), st.sph_idx, nsub, sub, chunk)
 
     # ---- pass 1: density (+ grad-h Omega) ----
     rho_t, nn_t, omega = _density_sweep(ctx, cfg, st, src1=geom_rows)
@@ -438,7 +508,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     # ---- pass 2: pressure gradient (+ fused AV) ----
     to_src = lambda x: _to_source_layout(x, st, gather_fn)
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
+    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
     tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"], rho_t)
     s_extra = []
     if gradh:
@@ -455,7 +525,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t)]
-    extra_rows = _window_gather(s_extra, st.sph_idx, ctx.nb, bsz, chunk)
+    extra_rows = _window_gather(s_extra, st.sph_idx, nsub, sub, chunk)
     gpx, gpy, gpz = gk.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av,
@@ -510,8 +580,9 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     lo, hi = h0 / (1.0 + c), h0 * (1.0 + c)
     h_t = h0
     m_t = ctx.t["m"]
-    rows = _window_gather(_geom(ctx.s), st.sph_idx, ctx.nb,
-                          cfg.nbr_group_size, cfg.block_chunk)
+    rows = _window_gather(_geom(ctx.s), st.sph_idx,
+                          ctx.nb * (cfg.nbr_group_size // cfg.nbr_sub),
+                          cfg.nbr_sub, cfg.block_chunk)
     for _ in range(cfg.h_newton_iters):
         ih = 1.0 / jnp.where(h_t > 0, h_t, 1.0)
         rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t,
@@ -525,4 +596,4 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
 def overflow_info(st: BlockStructure):
     """Structure overflow counters (the 'dropped AND counted' contract)."""
     return {"nbr_overflow": st.sph_overflow,
-            "tree_overflow": st.p2p_overflow}
+            "tree_overflow": st.p2p_overflow + st.m2p_overflow}

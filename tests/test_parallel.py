@@ -65,7 +65,8 @@ def test_dp_tree_gravity_matches_single_chip():
     # blocks over a wide cloud
     cfg = psph.default(n=2048, radius=40.0, particle_radius=3.0,
                        block_n=128, gravity_solver="tree",
-                       nbr_group_size=32, nbr_group_level=3, nbr_window=80)
+                       nbr_group_size=32, nbr_group_level=3, nbr_window=320,
+                       p2p_window=320, m2p_window=320)
     st = planet.prime(ics.jupiter(cfg), cfg)
     ref = planet.step(st, cfg)
     mesh = mesh_mod.make_mesh(8)
@@ -101,7 +102,7 @@ def test_dp_matrix_matches_single_chip(mode, av, nbr):
                        block_n=64, gravity_solver="direct",
                        grad_p_mode=mode, av_alpha=av,
                        av_beta=2.0 * av, neighbor_mode=nbr,
-                       nbr_group_size=32, nbr_window=48, nbr_group_level=2)
+                       nbr_group_size=32, nbr_window=192, nbr_group_level=2)
     st = planet.prime(ics.jupiter(cfg), cfg)
     ref = planet.step(st, cfg)
     mesh = mesh_mod.make_mesh(8)

@@ -35,4 +35,4 @@ def test_parity_flags():
 
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
-    assert cfg.nbr_window >= 96  # measured n_src max 91 at this scale
+    assert cfg.nbr_window >= 256  # sub-block units; settled max + skin

@@ -25,7 +25,8 @@ def _cloud(n, seed=0, radius=10.0):
 
 def _cfg(**kw):
     base = dict(n=512, neighbor_mode="grid", gravity_solver="tree",
-                nbr_group_size=64, nbr_window=32, p2p_window=32,
+                nbr_group_size=64, nbr_window=128, p2p_window=128,
+                m2p_window=128,
                 nbr_group_level=2, block_chunk=512)
     base.update(kw)
     return config.SimConfig(**base)
@@ -65,7 +66,7 @@ def test_asymmetric_and_sign_bug_match_dense():
 
 def test_gravity_exact_when_theta_zero():
     """theta -> 0 rejects every block: pure P2P must equal direct gravity."""
-    cfg = _cfg(theta=1e-6, p2p_window=64, softening_mode="symmetric_max")
+    cfg = _cfg(theta=1e-6, p2p_window=256, softening_mode="symmetric_max")
     pos, h, mass = _cloud(cfg.n, seed=1)
     st = structure.build(pos, h, mass, cfg)
     assert int(st.p2p_overflow) == 0
@@ -81,7 +82,8 @@ def test_gravity_exact_when_theta_zero():
 def test_gravity_tree_close_to_direct():
     """theta=0.7 block-monopole far field: small controlled MAC error."""
     cfg = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
-               nbr_group_level=3, nbr_window=128, p2p_window=128)
+               nbr_group_level=3, nbr_window=512, p2p_window=512,
+               m2p_window=512)
     pos, h, mass = _cloud(cfg.n, seed=2, radius=30.0)
     st = structure.build(pos, h, mass, cfg)
     assert int(st.sph_overflow) == 0 and int(st.p2p_overflow) == 0
@@ -99,25 +101,32 @@ def test_gravity_tree_close_to_direct():
 
 
 def test_every_block_counted_once():
-    """accept mask and P2P windows partition the live blocks per group."""
+    """The three gravity tiers partition the live SUB-blocks per group:
+    block-accepted (expanded to subs) + ring monopoles + P2P, disjoint and
+    jointly covering every live sub-block."""
     cfg = _cfg(theta=0.7)
     pos, h, mass = _cloud(cfg.n, seed=5)
     st = structure.build(pos, h, mass, cfg)
     g = st.groups.live.shape[0]
+    spb = cfg.nbr_group_size // cfg.nbr_sub
+    live_sub = np.asarray(jnp.any(
+        st.groups.live.reshape(g * spb, cfg.nbr_sub), axis=1))
+    live_subs = set(np.nonzero(live_sub)[0].tolist())
     accept = np.asarray(st.accept[:, :g]) > 0.5
-    p2p_sets = []
-    for gi in range(g):
-        ids = np.asarray(st.p2p_idx[gi])
-        p2p_sets.append(set(int(i) for i in ids[ids >= 0]))
-    live_blocks = set(np.nonzero(np.asarray(
-        jnp.any(st.groups.live, axis=1)))[0].tolist())
     tvalid = np.asarray(jnp.any(st.groups.live, axis=1))
     for gi in range(g):
         if not tvalid[gi]:
             continue
-        acc = set(np.nonzero(accept[gi])[0].tolist())
-        assert acc.isdisjoint(p2p_sets[gi])
-        assert acc | p2p_sets[gi] == live_blocks
+        acc_blocks = np.nonzero(accept[gi])[0]
+        acc = set(int(b * spb + s1) for b in acc_blocks for s1 in range(spb)
+                  if live_sub[b * spb + s1])
+        ids_p = np.asarray(st.p2p_idx[gi])
+        near = set(int(i) for i in ids_p[ids_p >= 0])
+        ids_r = np.asarray(st.m2p_idx[gi])
+        ring = set(int(i) for i in ids_r[ids_r >= 0])
+        assert acc.isdisjoint(near) and acc.isdisjoint(ring)
+        assert near.isdisjoint(ring)
+        assert acc | near | ring == live_subs
 
 
 def test_gradh_matches_dense():

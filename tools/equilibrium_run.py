@@ -53,7 +53,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--every", type=int, default=250)
     ap.add_argument("--preset", default="jupiter_3k",
-                    choices=["jupiter_3k", "parity", "default", "gradh"])
+                    choices=["jupiter_3k", "parity", "default", "gradh",
+                             "gradh_100k"])
     ap.add_argument("--restore", default=None,
                     help="continue from a checkpoint (e.g. to measure drift "
                          "in true equilibrium after the collapse transient)")
@@ -69,6 +70,11 @@ def main():
         if args.preset == "gradh":
             # energy-consistent adaptive-h configuration (grad-h + Newton)
             cfg = psph.default(n=3000, grad_p_mode="grad_h", h_mode="newton")
+        elif args.preset == "gradh_100k":
+            # the BASELINE north-star physics config at the north-star
+            # scale: grad-h + bounded Newton h on the grid+tree cached
+            # production pipeline (VERDICT round-1 item 5)
+            cfg = psph.jupiter_100k(grad_p_mode="grad_h", h_mode="newton")
         elif args.preset == "default":
             cfg = psph.default(n=3000)
         else:
