@@ -263,14 +263,19 @@ def jupiter_100k(**kw) -> SimConfig:
         n=100_000,
         gravity_solver="tree",
         neighbor_mode="grid",
-        rebuild_every=16,  # overflow-free at this scale; K=24 overflows
-        sort_every=128,    # the ~2.5s 100k Morton argsort amortizes over 8
-                           # window rebuilds (see config field comment)
+        # Measured sweep at 100k (tools/ksweep3): sub=32 beats sub=16 by
+        # ~10% despite ~25% more candidate slots (finer rows cost more in
+        # gather/window overhead than they save in pair math), and K=8
+        # keeps every window overflow-free with margin.
+        nbr_sub=32,
+        rebuild_every=8,
+        sort_every=64,
         # window capacities in SUB-block units; sized from measured settled-
-        # state maxima with the K=16 skin (tools/ksweep) + headroom
-        nbr_window=320,
-        p2p_window=448,
-        m2p_window=320,
+        # state maxima with skin (tools/ksweep) + headroom
+        nbr_window=160,
+        p2p_window=208,
+        m2p_window=128,   # ring max 107 settled (avg 49) — gathered at
+                          # capacity, so the window stays snug
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -77,15 +77,20 @@ def _nbpad(nb: int, chunk: int) -> int:
 
 
 def _compact_rows(adj, w):
-    """Compact boolean rows [G, NB] to index windows [G, w] (+counts, drop)."""
+    """Compact boolean rows [G, NB] to index windows [G, w] (+counts, drop).
+
+    Sort-based: set columns keep their index as the sort key, clear ones
+    get NB, so a row sort moves the set columns to the front in order.
+    5x faster than the equivalent scatter on TPU (105ms -> 20ms for a
+    [2067, 8268] -> [., 448] compaction)."""
     g, nb = adj.shape
-    inc = jnp.cumsum(adj, axis=1) - adj
-    posns = jnp.where(adj, inc, w).astype(jnp.int32)
-    cols = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (g, nb))
-    idx = jax.vmap(
-        lambda p, c: jnp.full((w,), -1, jnp.int32).at[p].set(c, mode="drop")
-    )(posns, cols)
+    keys = jnp.where(adj, jnp.arange(nb, dtype=jnp.int32)[None, :], nb)
+    if nb < w:      # window capacity can exceed the source-unit count
+        keys = jnp.pad(keys, ((0, 0), (0, w - nb)), constant_values=nb)
+    idx = jax.lax.sort(keys, dimension=1)[:, :w]
     n = jnp.sum(adj, axis=1).astype(jnp.int32)
+    idx = jnp.where(jnp.arange(w, dtype=jnp.int32)[None, :] < n[:, None],
+                    idx, -1)
     overflow = jnp.sum(jnp.maximum(n - w, 0))
     return idx, n, overflow
 
@@ -257,13 +262,11 @@ class _Ctx(NamedTuple):
 
 
 def _sort_set(grp, arrs):
-    """Gather a list of [N] fields into the sorted [G*B] layout.
-
-    Per-field 1-D gathers: packing fields into an interleaved [N, c] array
-    first puts c (non-128) in the lane dimension, which triggers
-    pathological relayouts on TPU (measured 30x slower than per-field at
-    100k, tools/microbench.py)."""
-    return [a[grp.tgt_idx] for a in arrs]
+    """Gather a list of [N] fields into the sorted [G*B] layout (one
+    packed [N, c] row gather; per-field element gathers measure ~4x
+    slower on this TPU — xplane trace)."""
+    packed = jnp.stack(arrs, axis=-1)[grp.tgt_idx]
+    return [packed[:, k] for k in range(len(arrs))]
 
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
@@ -389,11 +392,18 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
 
 
 def _entry_gather(cols, idx, chunk):
-    """Per-entry (one value per window slot) gathers, padded to chunk."""
+    """Per-entry (one value per window slot) gathers, padded to chunk.
+
+    One packed [N, c] row gather — c separate element-gathers through the
+    same index cost 4x more on this TPU (12.3ms vs ~3ms per step at 100k,
+    xplane trace)."""
     g, w = idx.shape
+    c = len(cols)
+    packed = jnp.stack(cols, axis=-1)                   # [N, c] (tiny)
     safe = jnp.clip(idx, 0, cols[0].shape[0] - 1)
+    gat = packed[safe]                                  # [G, W, c]
     pad = _nbpad(w, chunk) - w
-    return [jnp.pad(c[safe], ((0, 0), (0, pad))) for c in cols]
+    return [jnp.pad(gat[:, :, k], ((0, 0), (0, pad))) for k in range(c)]
 
 
 def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
@@ -455,11 +465,29 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
 def _unsort(st: BlockStructure, fields):
     """Sorted [G*B] fields back to original order, as a list.
 
-    Gathers through the grouping's inverse permutation — a packed-column
-    scatter costs ~10x more on TPU (tools/profile_block.py). Vector fields
-    ([G*B, k]) come back as [N, k]."""
+    One packed row gather through the grouping's inverse permutation:
+    per-field element gathers cost ~4x more on this TPU, and a packed-
+    column scatter ~10x more (xplane trace / tools/profile_block.py).
+    Vector fields ([G*B, k]) come back as [N, k]; int fields round-trip
+    through f32 (counts are far below 2^24)."""
     inv = st.groups.unsort_idx
-    return [f[inv] for f in fields]
+    cols = []
+    spans = []
+    for f in fields:
+        if f.ndim == 1:
+            cols.append(f.astype(jnp.float32)[:, None])
+            spans.append(1)
+        else:
+            cols.append(f.astype(jnp.float32))
+            spans.append(f.shape[1])
+    packed = jnp.concatenate(cols, axis=1)[inv]          # [N, k_total]
+    out = []
+    off = 0
+    for f, k in zip(fields, spans):
+        piece = packed[:, off] if f.ndim == 1 else packed[:, off:off + k]
+        out.append(piece.astype(f.dtype))
+        off += k
+    return out
 
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,

@@ -35,4 +35,9 @@ def test_parity_flags():
 
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
-    assert cfg.nbr_window >= 256  # sub-block units; settled max + skin
+    # capacities cover the measured settled-state window maxima with the
+    # preset's skin (tools/ksweep3: sph max ~110, p2p max ~150, ring max
+    # ~180 sub-blocks of 32 at K=8)
+    assert cfg.nbr_window * cfg.nbr_sub >= 4000
+    assert cfg.p2p_window * cfg.nbr_sub >= 5500
+    assert cfg.m2p_window >= 192

@@ -59,6 +59,7 @@ def main():
           f"Wp={cfg.p2p_window}  chunk={chunk}", flush=True)
 
     st = jax.jit(lambda p, hh, m: structure.build(p, hh, m, cfg))(pos, h, mass)
+    sub = cfg.nbr_sub
     print(f"groups={st.groups.live.shape[0]} "
           f"n_sph avg={float(jnp.mean(st.n_sph)):.1f} "
           f"max={int(jnp.max(st.n_sph))}  "
@@ -97,12 +98,13 @@ def main():
                                                             st_))(
         pos, h, mass, st)
     scols = structure._geom(ctx.s)
+    nsub = ctx.nb * (bsz // sub)
 
     if on("gather"):
         def gath_k(cols, idx, k_):
             def body(c, _):
                 cols2 = [cols[0] + c] + cols[1:]
-                rows = structure._window_gather(cols2, idx, ctx.nb, bsz,
+                rows = structure._window_gather(cols2, idx, nsub, sub,
                                                 chunk)
                 return c + 1e-12 * rows[0][0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
@@ -113,9 +115,9 @@ def main():
               k=args.k)
 
     geom_rows = jax.jit(
-        lambda cols, idx: structure._window_gather(cols, idx, ctx.nb, bsz,
+        lambda cols, idx: structure._window_gather(cols, idx, nsub, sub,
                                                    chunk))(scols, st.sph_idx)
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * bsz
+    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
     t = ctx.t
     tgt1 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["m"], t["oid"])
 
@@ -136,7 +138,7 @@ def main():
     tgt2 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"],
                            rho_t, prs_t)
     extra_rows = jax.jit(
-        lambda cols, idx: structure._window_gather(cols, idx, ctx.nb, bsz,
+        lambda cols, idx: structure._window_gather(cols, idx, nsub, sub,
                                                    chunk))(
         [rho_t, prs_t], st.sph_idx)
 
@@ -156,8 +158,8 @@ def main():
     if on("p2p"):
         p2p_rows = jax.jit(
             lambda cols, idx: structure._window_gather(
-                cols, idx, ctx.nb, bsz, chunk))(scols, st.p2p_idx)
-        nvp = jnp.minimum(st.n_p2p, cfg.p2p_window) * bsz
+                cols, idx, nsub, sub, chunk))(scols, st.p2p_idx)
+        nvp = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
         tgtp = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"])
 
         def p2p_k(tg, rows, nv_, k_):
