@@ -214,8 +214,27 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
         rest = (~blk_exp) & tvalid[:, None] & svalid[None, :]
         ring = rest & mac_sub          # sub-block monopole tier
         near = rest & (~mac_sub)       # P2P tier
-        m2p_idx, n_m2p, m2p_over = _compact_rows(ring, cfg.m2p_window)
-        p2p_idx, n_p2p, p2p_over = _compact_rows(near, cfg.p2p_window)
+        # ONE sort compacts both tiers: near keys sort first (their sub
+        # id), ring keys next (id + NSUB), everything else last. The ring
+        # window is then a per-row slice starting at n_near.
+        col = jnp.arange(nsub, dtype=jnp.int32)[None, :]
+        keys = jnp.where(near, col,
+                         jnp.where(ring, col + nsub, 2 * nsub))
+        srt = jax.lax.sort(keys, dimension=1)
+        n_p2p = jnp.sum(near, axis=1).astype(jnp.int32)
+        n_m2p = jnp.sum(ring, axis=1).astype(jnp.int32)
+        wp, wm = cfg.p2p_window, cfg.m2p_window
+        jp = jnp.arange(wp, dtype=jnp.int32)[None, :]
+        p2p_idx = jnp.where(jp < n_p2p[:, None],
+                            srt[:, :wp] if nsub >= wp else
+                            jnp.pad(srt, ((0, 0), (0, wp - nsub)),
+                                    constant_values=2 * nsub)[:, :wp], -1)
+        jm = jnp.arange(wm, dtype=jnp.int32)[None, :]
+        pos = jnp.clip(n_p2p[:, None] + jm, 0, srt.shape[1] - 1)
+        ring_vals = jnp.take_along_axis(srt, pos, axis=1) - nsub
+        m2p_idx = jnp.where(jm < n_m2p[:, None], ring_vals, -1)
+        p2p_over = jnp.sum(jnp.maximum(n_p2p - wp, 0))
+        m2p_over = jnp.sum(jnp.maximum(n_m2p - wm, 0))
         accept = (mac_blk & bvalid[None, :]).astype(jnp.float32)
         nbp = _nbpad(nb, chunk)
         accept = jnp.pad(accept, ((0, 0), (0, nbp - nb)))
