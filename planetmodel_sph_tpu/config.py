@@ -93,6 +93,14 @@ class SimConfig:
     #           BASELINE 'adaptive-h Newton iteration' config; requires
     #           grad_p_mode='grad_h' for consistent energy bookkeeping)
     h_mode: Literal["relax", "newton"] = "relax"
+    # Upper bound on the smoothing length (0 = uncapped). Escaping halo
+    # particles otherwise grow h without bound chasing 50 neighbors in
+    # near-vacuum; one huge-h particle inflates its block's pair cutoff
+    # against every target and overflows the fixed windows (measured
+    # runaway at 100k: h_avg 2.4 -> 20 within 500 steps of the collapse
+    # bounce). Physically a cap just freezes the (force-free) vacuum
+    # smoothing scale. The reference has no halo to speak of at 3k.
+    h_max: float = 0.0
     h_newton_iters: int = 3
     # Block-pipeline Newton solves clamp each solve to h*(1 +/- this) and
     # widen the adjacency cutoffs by the same margin, so h can never

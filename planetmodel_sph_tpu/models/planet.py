@@ -55,7 +55,10 @@ def update_h(h, n_neighbors, cfg: SimConfig):
     nn = n_neighbors.astype(h.dtype)
     ratio = jnp.cbrt(cfg.target_neighbors / jnp.where(nn > 0, nn, 1.0))
     h_next = h * 0.5 * (1.0 + ratio)
-    return jnp.where(n_neighbors > 0, h_next, h)
+    h_next = jnp.where(n_neighbors > 0, h_next, h)
+    if cfg.h_max > 0.0:
+        h_next = jnp.minimum(h_next, cfg.h_max)
+    return h_next
 
 
 def current_dt(state: ParticleState, cfg: SimConfig):
@@ -180,6 +183,8 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
         for _ in range(cfg.h_newton_iters):
             rho, _, _ = dense.density_gradh(pos, h, mass, cfg)
             h = eta * jnp.cbrt(mass / rho)
+            if cfg.h_max > 0.0:
+                h = jnp.minimum(h, cfg.h_max)
 
     rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
     prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)

@@ -619,12 +619,16 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     never outgrow the widened windows. Returns the new h in original order.
     """
     c = cfg.h_newton_clamp
+    if cfg.h_max > 0.0:
+        h = jnp.minimum(h, cfg.h_max)   # halo cap (see SimConfig.h_max)
     st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
                h_margin=c, groups=groups)
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
                     target_offset=target_offset)
     h0 = ctx.t["h"]
     lo, hi = h0 / (1.0 + c), h0 * (1.0 + c)
+    if cfg.h_max > 0.0:
+        hi = jnp.minimum(hi, cfg.h_max)
     h_t = h0
     m_t = ctx.t["m"]
     rows = _window_gather(_geom(ctx.s), st.sph_idx,

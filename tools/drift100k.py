@@ -34,6 +34,13 @@ def main():
                     choices=["gradh", "default"],
                     help="gradh: grad-h + bounded Newton h (the BASELINE "
                          "energy-consistent config); default: relax h")
+    ap.add_argument("--cfl", action="store_true",
+                    help="adaptive CFL timestep (survives the collapse "
+                         "bounce that a fixed dt=0.02 does not at 100k)")
+    ap.add_argument("--h-max", type=float, default=0.0,
+                    help="halo smoothing-length cap (see SimConfig.h_max)")
+    ap.add_argument("--windows", type=str, default=None,
+                    help="nbr,p2p,m2p window override, e.g. 224,256,160")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -46,6 +53,13 @@ def main():
     else:
         kw = dict(grad_p_mode="grad_h", h_mode="newton") \
             if args.preset == "gradh" else {}
+        if args.cfl:
+            kw.update(dt_mode="cfl", cfl_number=0.25)
+        if args.h_max:
+            kw.update(h_max=args.h_max)
+        if args.windows:
+            nw, pw, mw = (int(x) for x in args.windows.split(","))
+            kw.update(nbr_window=nw, p2p_window=pw, m2p_window=mw)
         cfg = psph.jupiter_100k(**kw)
         state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
         step0 = 0
