@@ -49,6 +49,11 @@ def main():
 
     if os.path.exists(ck):
         state, cfg, step0 = checkpoint.load(ck)
+        if args.windows:    # capacity overrides apply on resume too
+            nw, pw, mw = (int(x) for x in args.windows.split(","))
+            cfg = cfg.replace(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+        if args.h_max:
+            cfg = cfg.replace(h_max=args.h_max)
         print(f"resumed {ck} at step {step0}", flush=True)
     else:
         kw = dict(grad_p_mode="grad_h", h_mode="newton") \
