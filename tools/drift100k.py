@@ -41,6 +41,11 @@ def main():
                     help="halo smoothing-length cap (see SimConfig.h_max)")
     ap.add_argument("--windows", type=str, default=None,
                     help="nbr,p2p,m2p window override, e.g. 224,256,160")
+    ap.add_argument("--av", type=float, default=None,
+                    help="Monaghan AV alpha (beta=2*alpha). The cold-"
+                         "collapse bounce at 100k is a strong shock; "
+                         "settling runs need AV to dissipate it; the "
+                         "drift measurement then switches it off.")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -54,6 +59,8 @@ def main():
             cfg = cfg.replace(nbr_window=nw, p2p_window=pw, m2p_window=mw)
         if args.h_max:
             cfg = cfg.replace(h_max=args.h_max)
+        if args.av is not None:
+            cfg = cfg.replace(av_alpha=args.av, av_beta=2.0 * args.av)
         print(f"resumed {ck} at step {step0}", flush=True)
     else:
         kw = dict(grad_p_mode="grad_h", h_mode="newton") \
@@ -65,6 +72,8 @@ def main():
         if args.windows:
             nw, pw, mw = (int(x) for x in args.windows.split(","))
             kw.update(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+        if args.av is not None:
+            kw.update(av_alpha=args.av, av_beta=2.0 * args.av)
         cfg = psph.jupiter_100k(**kw)
         state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
         step0 = 0
