@@ -64,3 +64,21 @@ def test_collision_stable_and_dt_recovers_after_bounce():
     # the f32 rounding of cfg.dt — 0.2 rounds UP in float32)
     assert dts.min() >= cfg.dt_min
     assert dts.max() <= float(np.float32(cfg.dt))
+
+
+def test_h_max_caps_halo_growth():
+    """Isolated (zero-neighbor... few-neighbor) particles relax h upward;
+    h_max must bound it (unbounded halo h overflows the fixed interaction
+    windows at scale — the measured 100k runaway)."""
+    cfg = _cfg(dt_mode="fixed", h_max=3.0, n=256, radius=30.0,
+               particle_radius=2.0)
+    st = planet.prime(ics.jupiter(cfg), cfg)
+    for _ in range(6):
+        st = planet.step(st, cfg)
+    assert float(jnp.max(st.h)) <= 3.0 + 1e-6
+    # and the uncapped config grows past the cap on the same scenario
+    cfg0 = cfg.replace(h_max=0.0)
+    st0 = planet.prime(ics.jupiter(cfg0), cfg0)
+    for _ in range(6):
+        st0 = planet.step(st0, cfg0)
+    assert float(jnp.max(st0.h)) > 3.0
