@@ -174,6 +174,14 @@ class SimConfig:
     # (tools/profile_build.py) — the sort must amortize over many rebuilds.
     sort_every: int = 0
 
+    # ---- velocity damping (settling runs; new capability) ----
+    # v <- v * exp(-vel_damping * dt) after each kick. Quasi-statically
+    # relaxes an IC to hydrostatic equilibrium without the violent collapse
+    # bounce (the measured 100k failure mode: the bounce compresses the
+    # core past the fixed window capacities -> dropped interactions ->
+    # momentum non-conservation -> explosion). 0 disables (production).
+    vel_damping: float = 0.0
+
     # ---- artificial viscosity (Monaghan 1992; new capability) ----
     # alpha=0 disables (the reference has no shock treatment). Typical
     # shock-capturing values: alpha=1, beta=2. Dense neighbor mode only

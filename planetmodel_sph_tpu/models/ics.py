@@ -82,6 +82,62 @@ def jupiter(cfg: SimConfig) -> ParticleState:
     )
 
 
+def polytrope(cfg: SimConfig, rho_floor_frac: float = 0.01) -> ParticleState:
+    """n=1 polytrope: the ANALYTIC hydrostatic equilibrium for P = K rho^2.
+
+    The Lane-Emden n=1 solution is closed-form: rho(r) = rho_c sin(xi)/xi
+    with xi = pi r / R1 and outer radius R1 = pi sqrt(K/(2 pi G)) —
+    independent of mass, so rho_c = M pi^2 / (4 R1^3). Particles are drawn
+    from the exact enclosed-mass CDF m(xi)/M = (sin xi - xi cos xi)/pi by
+    inverse transform, at rest, with h = eta (m/rho)^(1/3) matched to the
+    local density (eta from cfg.target_neighbors).
+
+    This is the equilibrium state the reference's cold-collapse scene
+    relaxes TOWARD (README.md:34 "hydrostatic equilibrium"); starting here
+    skips the violent collapse bounce, which at 100k is a strong shock the
+    reference's fixed dt=0.02 cannot integrate. rho is floored at
+    rho_floor_frac * rho_c when assigning h so outer-shell smoothing
+    lengths stay bounded (the profile's rho -> 0 at R1).
+    """
+    from .planet import h_eta
+
+    dt = cfg.jnp_dtype
+    key = jax.random.PRNGKey(cfg.seed)
+    k_u, k_d = jax.random.split(key)
+
+    g = cfg.g_const
+    r1 = float(jnp.pi * jnp.sqrt(cfg.eos_k / (2.0 * jnp.pi * g)))
+    xi_grid = jnp.linspace(0.0, jnp.pi, 4097, dtype=dt)
+    cdf = (jnp.sin(xi_grid) - xi_grid * jnp.cos(xi_grid)) / jnp.pi
+    u = jax.random.uniform(k_u, (cfg.n,), dt)
+    xi = jnp.interp(u, cdf, xi_grid)
+    r = xi * (r1 / jnp.pi)
+    d = jax.random.normal(k_d, (cfg.n, 3), dt)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pos = r[:, None] * d
+
+    rho_c = cfg.total_mass * jnp.pi**2 / (4.0 * r1**3)
+    sinc = jnp.where(xi > 1e-4, jnp.sin(xi) / jnp.maximum(xi, 1e-4), 1.0)
+    rho = rho_c * sinc
+    rho_h = jnp.maximum(rho, rho_floor_frac * rho_c)
+
+    mass = jnp.full((cfg.n,), cfg.particle_mass, dt)
+    h = h_eta(cfg) * jnp.cbrt(mass / rho_h)
+    if cfg.h_max > 0.0:
+        h = jnp.minimum(h, cfg.h_max)
+
+    zeros3 = jnp.zeros((cfg.n, 3), dt)
+    zeros1 = jnp.zeros((cfg.n,), dt)
+    izeros = jnp.zeros((cfg.n,), jnp.int32)
+    return ParticleState(
+        pos=pos, vel=zeros3, mass=mass, h=h, rho=rho,
+        pressure=eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma),
+        grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
+        n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
+        accel=zeros3,
+    )
+
+
 def two_planet_collision(
     cfg: SimConfig,
     separation: float = 150.0,

@@ -210,6 +210,13 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
                   accel, h)
 
 
+def _damp(vel, dt, cfg: SimConfig):
+    """Settling-run velocity damping (cfg.vel_damping; no-op by default)."""
+    if cfg.vel_damping <= 0.0 or cfg.freeze_velocity:
+        return vel
+    return vel * jnp.exp(-cfg.vel_damping * dt)
+
+
 def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
     return state.replace(
         rho=f.rho, pressure=f.pressure, grad_p=f.grad_p, phi=f.phi,
@@ -242,7 +249,7 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
-    return _apply_forces(state, f).replace(pos=pos, vel=vel)
+    return _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
@@ -257,7 +264,7 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
         else state.h
     f = forces_fn(pos, h, state.mass, vel=v_half)
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
-    return _apply_forces(state, f).replace(pos=pos, vel=vel)
+    return _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
 
 
 def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
@@ -408,7 +415,8 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     else:
         pos = eval_pos
         vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
-    new_state = _apply_forces(state, f).replace(pos=pos, vel=vel, h=h)
+    new_state = _apply_forces(state, f).replace(pos=pos,
+                                                vel=_damp(vel, dt, cfg), h=h)
     return Carry(new_state, tick + 1, st)
 
 

@@ -36,8 +36,9 @@ def test_parity_flags():
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
     # capacities cover the measured settled-state window maxima with the
-    # preset's skin (tools/ksweep3: sph max ~110, p2p max ~150, ring max
-    # ~180 sub-blocks of 32 at K=8)
+    # preset's skin (tools/ksweep at sub=32, K=8: sph max ~120, p2p max
+    # ~160, ring max ~107 sub-blocks — the m2p entries are gathered at
+    # capacity, so that window is sized snug)
     assert cfg.nbr_window * cfg.nbr_sub >= 4000
     assert cfg.p2p_window * cfg.nbr_sub >= 5500
-    assert cfg.m2p_window >= 192
+    assert cfg.m2p_window >= 112

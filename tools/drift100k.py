@@ -1,13 +1,27 @@
 #!/usr/bin/env python3
 """Crash-resilient 100k energy-drift measurement (VERDICT round-1 item 5).
 
-The relay TPU worker intermittently crashes minutes into long runs, so
-this driver advances in checkpointed chunks: each chunk is saved to a
-.psph checkpoint and its diagnostics appended to a JSONL before the next
-chunk starts. Re-running resumes from the last checkpoint, so an outer
-retry loop (see --help epilog) makes progress monotone through crashes.
+Protocol (two phases, one JSONL trail, phase recorded per row):
 
-  while ! python tools/drift100k.py --target 10000; do sleep 300; done
+1. SETTLE (steps [0, --settle)): damped relaxation (cfg.vel_damping) with
+   mild AV from the analytic n=1 polytrope IC (ics.polytrope — the exact
+   hydrostatic solution for P=K rho^2, so only sampling noise needs to
+   relax out). The earlier cold-collapse protocol is still available
+   (--ic cold) but at 100k the collapse bounce is a strong shock that
+   overflows any settled-state window sizing (measured: 85M dropped
+   interactions/step at the bounce -> momentum blows up); the polytrope
+   start avoids the problem instead of fighting it.
+2. DRIFT (steps [--settle, --target]): damping and AV OFF — the
+   conservative production pipeline. Drift is |E-E0|/|E0| with E0 at the
+   first drift-phase row.
+
+The relay TPU worker intermittently crashes minutes into long runs, so
+the driver advances in checkpointed chunks: each chunk is saved to a
+.psph checkpoint and its diagnostics appended to the JSONL before the
+next chunk starts. Re-running resumes from the last checkpoint, so an
+outer retry loop makes progress monotone through crashes:
+
+  while ! python tools/drift100k.py; do sleep 120; done
 """
 
 import argparse
@@ -18,34 +32,51 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 
 import planetmodel_sph_tpu as psph
 from planetmodel_sph_tpu.models import ics, planet
 from planetmodel_sph_tpu.utils import checkpoint, diagnostics
 
 
+def build_cfg(args, settle: bool):
+    kw = dict(grad_p_mode="grad_h", h_mode="newton") \
+        if args.preset == "gradh" else {}
+    if args.cfl:
+        kw.update(dt_mode="cfl", cfl_number=0.25)
+    if args.h_max:
+        kw.update(h_max=args.h_max)
+    if args.windows:
+        nw, pw, mw = (int(x) for x in args.windows.split(","))
+        kw.update(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+    if settle:
+        kw.update(vel_damping=args.damp,
+                  av_alpha=args.av, av_beta=2.0 * args.av)
+    return psph.jupiter_100k(**kw)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--target", type=int, default=10000)
+    ap.add_argument("--target", type=int, default=12000,
+                    help="total steps INCLUDING the settle phase")
+    ap.add_argument("--settle", type=int, default=2000,
+                    help="damped settling steps before the measurement")
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--out", default="docs/results/drift100k")
-    ap.add_argument("--preset", default="gradh",
-                    choices=["gradh", "default"],
+    ap.add_argument("--ic", default="polytrope", choices=["polytrope", "cold"])
+    ap.add_argument("--preset", default="gradh", choices=["gradh", "default"],
                     help="gradh: grad-h + bounded Newton h (the BASELINE "
                          "energy-consistent config); default: relax h")
     ap.add_argument("--cfl", action="store_true",
-                    help="adaptive CFL timestep (survives the collapse "
-                         "bounce that a fixed dt=0.02 does not at 100k)")
-    ap.add_argument("--h-max", type=float, default=0.0,
+                    help="adaptive CFL timestep (not needed from the "
+                         "polytrope IC; required to survive a cold collapse)")
+    ap.add_argument("--h-max", type=float, default=5.0,
                     help="halo smoothing-length cap (see SimConfig.h_max)")
     ap.add_argument("--windows", type=str, default=None,
                     help="nbr,p2p,m2p window override, e.g. 224,256,160")
-    ap.add_argument("--av", type=float, default=None,
-                    help="Monaghan AV alpha (beta=2*alpha). The cold-"
-                         "collapse bounce at 100k is a strong shock; "
-                         "settling runs need AV to dissipate it; the "
-                         "drift measurement then switches it off.")
+    ap.add_argument("--damp", type=float, default=0.1,
+                    help="settle-phase velocity damping rate")
+    ap.add_argument("--av", type=float, default=0.5,
+                    help="settle-phase Monaghan AV alpha (beta=2*alpha)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -53,45 +84,42 @@ def main():
     jsonl = os.path.join(args.out, "metrics.jsonl")
 
     if os.path.exists(ck):
-        state, cfg, step0 = checkpoint.load(ck)
-        if args.windows:    # capacity overrides apply on resume too
-            nw, pw, mw = (int(x) for x in args.windows.split(","))
-            cfg = cfg.replace(nbr_window=nw, p2p_window=pw, m2p_window=mw)
-        if args.h_max:
-            cfg = cfg.replace(h_max=args.h_max)
-        if args.av is not None:
-            cfg = cfg.replace(av_alpha=args.av, av_beta=2.0 * args.av)
+        state, _, step0 = checkpoint.load(ck)   # cfg rebuilt from args
         print(f"resumed {ck} at step {step0}", flush=True)
     else:
-        kw = dict(grad_p_mode="grad_h", h_mode="newton") \
-            if args.preset == "gradh" else {}
-        if args.cfl:
-            kw.update(dt_mode="cfl", cfl_number=0.25)
-        if args.h_max:
-            kw.update(h_max=args.h_max)
-        if args.windows:
-            nw, pw, mw = (int(x) for x in args.windows.split(","))
-            kw.update(nbr_window=nw, p2p_window=pw, m2p_window=mw)
-        if args.av is not None:
-            kw.update(av_alpha=args.av, av_beta=2.0 * args.av)
-        cfg = psph.jupiter_100k(**kw)
-        state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
+        cfg0 = build_cfg(args, settle=args.settle > 0)
+        ic = ics.polytrope if args.ic == "polytrope" else ics.jupiter
+        state = jax.jit(lambda s: planet.prime(s, cfg0),
+                        static_argnums=())(ic(cfg0))
         step0 = 0
 
-    runner = jax.jit(lambda s: planet.run_info(s, cfg, args.chunk))
+    runners = {}
+
+    def advance(state, k, settle):
+        key = (k, settle)
+        if key not in runners:
+            cfg = build_cfg(args, settle)
+            runners[key] = (jax.jit(lambda s: planet.run_info(s, cfg, k)), cfg)
+        fn, cfg = runners[key]
+        return fn(state), cfg
+
     step = step0
     while step < args.target:
-        state, info = runner(state)
-        d = {k: float(v) for k, v in diagnostics.measure(state, cfg).items()}
-        d["step"] = step = step + args.chunk
+        settle = step < args.settle
+        k = min(args.chunk,
+                (args.settle if settle else args.target) - step)
+        (state, info), cfg = advance(state, k, settle)
+        d = {k2: float(v) for k2, v in diagnostics.measure(state, cfg).items()}
+        d["step"] = step = step + k
+        d["phase"] = "settle" if settle else "drift"
         d["nbr_overflow"] = int(info["nbr_overflow"])
         d["tree_overflow"] = int(info["tree_overflow"])
         with open(jsonl, "a") as f:
             f.write(json.dumps(d) + "\n")
         checkpoint.save(ck, jax.device_get(state), cfg, step)
-        print(f"step {step}: E={d['total_energy']:.6g} "
-              f"nn={d['neighbors_avg']:.1f} over=({d['nbr_overflow']},"
-              f"{d['tree_overflow']})", flush=True)
+        print(f"step {step} [{d['phase']}]: E={d['total_energy']:.6g} "
+              f"vmax={d['vel_max']:.3f} nn={d['neighbors_avg']:.1f} "
+              f"over=({d['nbr_overflow']},{d['tree_overflow']})", flush=True)
     print("target reached", flush=True)
     return 0
 
