@@ -85,16 +85,25 @@ def cmd_run(args) -> int:
         # (OOM at 100k)
         state = jax.jit(lambda s: planet.prime(s, cfg))(state)
 
+    viewer = None
+    if getattr(args, "serve", None) is not None:
+        from .utils.liveview import LiveViewer
+        viewer = LiveViewer(args.serve)
+        _log(f"live view -> http://127.0.0.1:{viewer.port}")
+
     # run exactly --steps: full diag chunks plus a DIAGNOSED remainder chunk
     t0 = time.perf_counter()
     diags_list = []
     step_nos = []
     cur = start_step
-    if args.render_every:
+    if args.render_every or viewer is not None:
         # frame-by-frame mode: chunked from Python so intermediate states
         # can be rendered (the analog of watching the editor viewport)
-        os.makedirs(args.render_every_dir, exist_ok=True)
-        r_every = max(1, min(args.render_every, args.steps))
+        write_frames = bool(args.render_every)
+        if write_frames:
+            os.makedirs(args.render_every_dir, exist_ok=True)
+        r_every = max(1, min(args.render_every or args.diag_every,
+                             args.steps))
         n_frames = args.steps // r_every
         rem = args.steps - n_frames * r_every
         for fi in range(n_frames + (1 if rem else 0)):
@@ -103,11 +112,20 @@ def cmd_run(args) -> int:
             cur += k
             diags_list.append(d)
             step_nos.append(cur)
-            render.render_png(
-                state, os.path.join(args.render_every_dir,
-                                    f"frame_{fi:05d}.png"),
-                color_by=args.render_color_by, quiver=args.render_quiver,
-                extent=args.render_extent)
+            if write_frames:
+                render.render_png(
+                    state, os.path.join(args.render_every_dir,
+                                        f"frame_{fi:05d}.png"),
+                    color_by=args.render_color_by, quiver=args.render_quiver,
+                    extent=args.render_extent)
+            if viewer is not None:
+                row = {k2: float(v[-1]) for k2, v in d.items()}
+                row["step"] = cur
+                row["steps_per_sec"] = cur - start_step and \
+                    (cur - start_step) / (time.perf_counter() - t0)
+                viewer.update(state, row, color_by=args.render_color_by,
+                              quiver=args.render_quiver,
+                              extent=args.render_extent)
         if args.animate:
             out = render.assemble_gif(args.render_every_dir, args.animate,
                                       fps=args.animate_fps)
@@ -262,6 +280,12 @@ def main(argv=None) -> int:
                     help="assemble --render-every frames into a GIF after "
                          "the run (the live-viewport stand-in)")
     pr.add_argument("--animate-fps", type=float, default=10.0)
+    pr.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="live browser viewer: serve the evolving state at "
+                         "http://localhost:PORT (0 = pick a free port); "
+                         "frames refresh every --render-every (or "
+                         "--diag-every) steps. The Unity live-viewport "
+                         "analog (ParticleAuthoring.cs:53-79)")
     pr.add_argument("--metrics-jsonl", default=None)
     pr.add_argument("--devices", type=int, default=None,
                     help="shard particles over this many devices "
