@@ -121,8 +121,8 @@ def cmd_run(args) -> int:
             if viewer is not None:
                 row = {k2: float(v[-1]) for k2, v in d.items()}
                 row["step"] = cur
-                row["steps_per_sec"] = cur - start_step and \
-                    (cur - start_step) / (time.perf_counter() - t0)
+                row["steps_per_sec"] = (
+                    (cur - start_step) / max(time.perf_counter() - t0, 1e-9))
                 viewer.update(state, row, color_by=args.render_color_by,
                               quiver=args.render_quiver,
                               extent=args.render_extent)

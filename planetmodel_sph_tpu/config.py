@@ -134,6 +134,17 @@ class SimConfig:
     p2p_window: int = 256          # near-field source sub-blocks per block
     m2p_window: int = 256          # ring sub-block monopoles per block
     block_chunk: int = 512         # pair-tile lane width (multiple of 128)
+    # Supergroup far tier: aggregate sg_blocks consecutive blocks into
+    # supergroup monopoles; the dense far-field scan runs over NSG = NB/
+    # sg_blocks supergroup entries (MAC'd against the conservative union-
+    # AABB bmax), and the blocks whose supergroup was MAC-rejected but that
+    # pass the block MAC themselves form a windowed block-monopole tier
+    # (blk_window entries). Cuts the far-scan slot count ~sg_blocks-fold —
+    # at 100k the [G, NB~2k] dense block scan is ~2ms/step of pure masked
+    # slots — and keeps the far field O(N/sg) as N grows. 0/1 disables
+    # (dense block scan, the round-1 behavior).
+    sg_blocks: int = 0
+    blk_window: int = 192          # block-monopole window (sg tier only)
 
     # ---- integration ----
     dt: float = 0.02               # fixed step (TimeManager.asset:6); with

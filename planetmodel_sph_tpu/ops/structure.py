@@ -66,10 +66,17 @@ class BlockStructure(NamedTuple):
     n_p2p: jax.Array             # [G]
     m2p_idx: jax.Array           # [G, Wm] ring sub-block ids (monopoles)
     n_m2p: jax.Array             # [G]
-    accept: jax.Array            # [G, NBpad] f32 frozen block-M2P mask
+    accept: jax.Array            # f32 frozen dense far-scan mask:
+                                 # [G, NBpad] block-M2P (sg_blocks off) or
+                                 # [G, NSGpad] supergroup-M2P (sg_blocks on)
+    blk_idx: jax.Array           # [G, Wb] block-monopole tier ids (blocks
+                                 # whose supergroup failed the MAC but that
+                                 # pass it themselves; empty when sg off)
+    n_blk: jax.Array             # [G]
     sph_overflow: jax.Array      # [] dropped SPH window entries
     p2p_overflow: jax.Array      # [] dropped P2P window entries
     m2p_overflow: jax.Array      # [] dropped ring window entries
+    blk_overflow: jax.Array      # [] dropped block-tier window entries
 
 
 def _nbpad(nb: int, chunk: int) -> int:
@@ -178,8 +185,8 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     pos_sb = pos_s[sgrp.tgt_idx].reshape(nb, bsz, 3)
     h_sb = h_s[sgrp.tgt_idx].reshape(nb, bsz)
     m_sb = mass_s[sgrp.tgt_idx].reshape(nb, bsz)
-    b_mass, b_cm, _, _, b_bmax2, _ = _block_stats(pos_sb, h_sb, m_sb,
-                                                  sgrp.live)
+    b_mass, b_cm, b_amin, b_amax, b_bmax2, _ = _block_stats(pos_sb, h_sb,
+                                                            m_sb, sgrp.live)
     bvalid = b_mass > 0.0
     s_mass, s_cm, s_amin, s_amax, s_bmax2, s_hmax = _block_stats(
         pos_sb.reshape(nsub, sub, 3), h_sb.reshape(nsub, sub),
@@ -210,7 +217,44 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
                                      s_cm[None, :, :] - thi_p), 0.0)
         mac_sub = accept_bmax(jnp.sum(ds * ds, axis=-1),
                               s_bmax2[None, :], cfg.theta)
-        blk_exp = jnp.repeat(mac_blk & bvalid[None, :], spb, axis=1)
+        covered = mac_blk & bvalid[None, :]
+        if cfg.sg_blocks > 1:
+            # ---- supergroup far tier ----
+            sgf = cfg.sg_blocks
+            nsg = -(-nb // sgf)
+            padb = nsg * sgf - nb
+            big = jnp.asarray(3e30, pos.dtype)
+            bm_p = jnp.pad(b_mass, (0, padb)).reshape(nsg, sgf)
+            cm_p = jnp.pad(b_cm, ((0, padb), (0, 0))).reshape(nsg, sgf, 3)
+            alo_p = jnp.pad(b_amin, ((0, padb), (0, 0)),
+                            constant_values=3e30).reshape(nsg, sgf, 3)
+            ahi_p = jnp.pad(b_amax, ((0, padb), (0, 0)),
+                            constant_values=-3e30).reshape(nsg, sgf, 3)
+            sg_mass = jnp.sum(bm_p, axis=1)
+            sg_cm = (jnp.sum(bm_p[..., None] * cm_p, axis=1)
+                     / jnp.maximum(sg_mass, 1e-30)[:, None])
+            memb = (bm_p > 0.0)[..., None]
+            sg_lo = jnp.min(jnp.where(memb, alo_p, big), axis=1)
+            sg_hi = jnp.max(jnp.where(memb, ahi_p, -big), axis=1)
+            # conservative bmax: sg CM to the union-AABB farthest corner
+            sb_ = jnp.maximum(jnp.maximum(sg_hi - sg_cm, sg_cm - sg_lo), 0.0)
+            sg_bmax2 = jnp.where(sg_mass > 0.0,
+                                 jnp.sum(sb_ * sb_, axis=-1), 0.0)
+            dsg = jnp.maximum(jnp.maximum(tlo_p - sg_cm[None, :, :],
+                                          sg_cm[None, :, :] - thi_p), 0.0)
+            mac_sg = (accept_bmax(jnp.sum(dsg * dsg, axis=-1),
+                                  sg_bmax2[None, :], cfg.theta)
+                      & (sg_mass > 0.0)[None, :])
+            sg_cover = jnp.repeat(mac_sg, sgf, axis=1)[:, :nb]
+            # block-monopole tier: block passes the MAC, its supergroup
+            # does not — windowed entries instead of a dense scan
+            blk_far = covered & (~sg_cover)
+            blk_idx, n_blk, blk_over = _compact_rows(blk_far, cfg.blk_window)
+            covered = (sg_cover & bvalid[None, :]) | blk_far
+            nsgp = _nbpad(nsg, chunk)
+            accept_sg = jnp.pad(mac_sg.astype(jnp.float32),
+                                ((0, 0), (0, nsgp - nsg)))
+        blk_exp = jnp.repeat(covered, spb, axis=1)
         rest = (~blk_exp) & tvalid[:, None] & svalid[None, :]
         ring = rest & mac_sub          # sub-block monopole tier
         near = rest & (~mac_sub)       # P2P tier
@@ -235,9 +279,15 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
         m2p_idx = jnp.where(jm < n_m2p[:, None], ring_vals, -1)
         p2p_over = jnp.sum(jnp.maximum(n_p2p - wp, 0))
         m2p_over = jnp.sum(jnp.maximum(n_m2p - wm, 0))
-        accept = (mac_blk & bvalid[None, :]).astype(jnp.float32)
-        nbp = _nbpad(nb, chunk)
-        accept = jnp.pad(accept, ((0, 0), (0, nbp - nb)))
+        if cfg.sg_blocks > 1:
+            accept = accept_sg
+        else:
+            accept = covered.astype(jnp.float32)
+            nbp = _nbpad(nb, chunk)
+            accept = jnp.pad(accept, ((0, 0), (0, nbp - nb)))
+            blk_idx = jnp.full((g, 1), -1, jnp.int32)
+            n_blk = jnp.zeros((g,), jnp.int32)
+            blk_over = jnp.asarray(0, jnp.int32)
     else:
         p2p_idx = jnp.full((g, cfg.p2p_window), -1, jnp.int32)
         n_p2p = jnp.zeros((g,), jnp.int32)
@@ -246,10 +296,13 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
         n_m2p = jnp.zeros((g,), jnp.int32)
         m2p_over = jnp.asarray(0, jnp.int32)
         accept = jnp.zeros((g, _nbpad(nb, chunk)), jnp.float32)
+        blk_idx = jnp.full((g, 1), -1, jnp.int32)
+        n_blk = jnp.zeros((g,), jnp.int32)
+        blk_over = jnp.asarray(0, jnp.int32)
 
     return BlockStructure(tgrp, sgrp, sph_idx, n_sph, p2p_idx, n_p2p,
-                          m2p_idx, n_m2p, accept, sph_over, p2p_over,
-                          m2p_over)
+                          m2p_idx, n_m2p, accept, blk_idx, n_blk,
+                          sph_over, p2p_over, m2p_over, blk_over)
 
 
 # ---------------------------------------------------------------------------
@@ -449,14 +502,38 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
 
     bf16 = cfg.grav_pair_dtype == "bfloat16"
 
-    # far tier: dense scan over block monopoles under the frozen mask
+    # far tier: dense scan over block (or supergroup) monopoles under the
+    # frozen mask; with sg_blocks on, blocks whose supergroup failed the
+    # MAC but that pass it themselves come in as windowed entries
     bmass, cmx, cmy, cmz = moments(nb, bsz)
-    nbp = st.accept.shape[1]
-    rows = [jnp.pad(v, (0, nbp - nb))[None, :]
-            for v in (bmass, cmx, cmy, cmz)]
+    npad = st.accept.shape[1]
+    if cfg.sg_blocks > 1:
+        sgf = cfg.sg_blocks
+        nsg = -(-nb // sgf)
+        bm_p = jnp.pad(bmass, (0, nsg * sgf - nb)).reshape(nsg, sgf)
+        sgm = jnp.sum(bm_p, axis=1)
+        inv = 1.0 / jnp.maximum(sgm, 1e-30)
+        wsum = lambda v: jnp.sum(
+            bm_p * jnp.pad(v, (0, nsg * sgf - nb)).reshape(nsg, sgf),
+            axis=1) * inv
+        far = (sgm, wsum(cmx), wsum(cmy), wsum(cmz))
+        nfar = nsg
+    else:
+        far = (bmass, cmx, cmy, cmz)
+        nfar = nb
+    rows = [jnp.pad(v, (0, npad - nfar))[None, :] for v in far]
     phi_m, gmx, gmy, gmz, na_c = gk.m2p(
         _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
         g_const=cfg.g_const, bf16=bf16)
+    if cfg.sg_blocks > 1:
+        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx, chunk)
+        nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
+        phi_b, gbx, gby, gbz, nb_c = gk.m2p_ring(
+            nv_blk, _cols(t["x"], t["y"], t["z"]), blk_rows, b=bsz,
+            chunk=chunk, g_const=cfg.g_const)
+        phi_m = phi_m + phi_b
+        gmx, gmy, gmz = gmx + gbx, gmy + gby, gmz + gbz
+        na_c = na_c + nb_c
 
     # ring tier: windowed sub-block monopoles (current moments)
     smass, scx, scy, scz = moments(nsub, sub)
@@ -647,4 +724,5 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
 def overflow_info(st: BlockStructure):
     """Structure overflow counters (the 'dropped AND counted' contract)."""
     return {"nbr_overflow": st.sph_overflow,
-            "tree_overflow": st.p2p_overflow + st.m2p_overflow}
+            "tree_overflow": (st.p2p_overflow + st.m2p_overflow
+                              + st.blk_overflow)}

@@ -191,3 +191,60 @@ def test_bf16_gravity_close_to_f32():
                                np.asarray(f32[1]) / scale, atol=1e-2)
     np.testing.assert_array_equal(b16[2], f32[2])              # counters
     np.testing.assert_array_equal(b16[3], f32[3])
+
+
+def test_gravity_supergroup_tier_close_to_direct():
+    """sg_blocks>1: dense supergroup scan + windowed block tier must stay
+    within the MAC error band of direct gravity (the four-tier partition
+    keeps every source counted exactly once)."""
+    cfg = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
+               nbr_group_level=3, nbr_window=512, p2p_window=512,
+               m2p_window=512, sg_blocks=4, blk_window=256)
+    pos, h, mass = _cloud(cfg.n, seed=2, radius=30.0)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.p2p_overflow) == 0 and int(st.blk_overflow) == 0
+    bf = structure.forces(pos, h, mass, cfg, st)
+    assert float(jnp.mean(st.accept)) > 0.0       # sg tier actually used
+    assert int(jnp.sum(st.n_blk)) > 0             # block tier actually used
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(cfg))
+    scale = jnp.max(jnp.abs(p1.grad_phi))
+    err = jnp.max(jnp.abs(bf.grad_phi - p1.grad_phi)) / scale
+    assert float(err) < 0.02, float(err)
+    phi_err = jnp.max(jnp.abs(bf.phi - p1.phi)) / jnp.max(jnp.abs(p1.phi))
+    assert float(phi_err) < 0.02, float(phi_err)
+    # both counters live: P2P particles and far-field monopole entries
+    assert int(jnp.sum(bf.n_direct)) > 0 and int(jnp.sum(bf.n_approx)) > 0
+
+
+def test_supergroup_partition_counts_every_block_once():
+    cfg = _cfg(theta=0.7, sg_blocks=4, blk_window=128)
+    pos, h, mass = _cloud(cfg.n, seed=5)
+    st = structure.build(pos, h, mass, cfg)
+    g = st.groups.live.shape[0]
+    spb = cfg.nbr_group_size // cfg.nbr_sub
+    live_sub = np.asarray(jnp.any(
+        st.groups.live.reshape(g * spb, cfg.nbr_sub), axis=1))
+    live_subs = set(np.nonzero(live_sub)[0].tolist())
+    nsg = -(-g // cfg.sg_blocks)
+    accept_sg = np.asarray(st.accept[:, :nsg]) > 0.5
+    tvalid = np.asarray(jnp.any(st.groups.live, axis=1))
+    bmass_live = np.asarray(jnp.any(st.groups.live, axis=1))
+    for gi in range(g):
+        if not tvalid[gi]:
+            continue
+        sg_blocks = [b for s1 in np.nonzero(accept_sg[gi])[0]
+                     for b in range(s1 * cfg.sg_blocks,
+                                    min((s1 + 1) * cfg.sg_blocks, g))
+                     if bmass_live[b]]
+        ids_b = np.asarray(st.blk_idx[gi])
+        far_blocks = sg_blocks + [int(b) for b in ids_b[ids_b >= 0]]
+        assert len(far_blocks) == len(set(far_blocks))   # tiers disjoint
+        far = set(int(b * spb + s2) for b in far_blocks
+                  for s2 in range(spb) if live_sub[b * spb + s2])
+        ids_p = np.asarray(st.p2p_idx[gi])
+        near = set(int(i) for i in ids_p[ids_p >= 0])
+        ids_r = np.asarray(st.m2p_idx[gi])
+        ring = set(int(i) for i in ids_r[ids_r >= 0])
+        assert far.isdisjoint(near) and far.isdisjoint(ring)
+        assert near.isdisjoint(ring)
+        assert far | near | ring == live_subs
