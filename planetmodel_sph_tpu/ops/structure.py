@@ -125,9 +125,13 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
           h_margin: float = 0.0, groups=None) -> BlockStructure:
     """Build windows + MAC mask for the current positions/smoothing lengths.
 
-    `skin`: Verlet margin — cutoffs widened by 2*skin, MAC boxes inflated by
-    3.5*skin (2 skins of mutual approach + skin/theta of bmax growth; see
-    the derivation in the round-1 tree cache).
+    `skin`: Verlet margin — a PER-PARTICLE motion bound [N] (original
+    order; a scalar broadcasts) reduced to per-block/sub/supergroup
+    maxima. Adjacency cutoffs widen by delta_target + delta_source; the
+    MAC stays conservative via d_eff = d - delta_t - delta_s against
+    bmax_eff = bmax + 2*delta_s (source internal motion). Per-block skins
+    keep one fast or noisy particle from widening every window (the
+    measured global-skin runaway at 100k; see models.planet._skin).
     `src`: optional (pos, h, mass) global source set (dp: targets = local
     shard, sources = all-gathered global set).
     `h_margin`: cutoffs additionally widened by (1+h_margin) on h — room for
@@ -171,6 +175,15 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     spb = bsz // sub
     nsub = nb * spb
 
+    # per-particle motion bound -> per-block/sub maxima (scalar broadcasts)
+    skin = jnp.asarray(skin, pos.dtype)
+    if skin.ndim == 0:
+        skin_t = jnp.broadcast_to(skin, (pos.shape[0],))
+        skin_s = jnp.broadcast_to(skin, (pos_s.shape[0],))
+    else:
+        skin_t = skin
+        skin_s = skin if single else jnp.zeros((pos_s.shape[0],), pos.dtype)
+
     # target-block AABBs + max h (duplicate slots replicate real members, so
     # plain min/max give the true bbox)
     pos_t = pos[tgrp.tgt_idx].reshape(g, bsz, 3)
@@ -179,6 +192,9 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     thi = jnp.max(pos_t, axis=1)
     t_hmax = jnp.max(jnp.where(tgrp.live, h_t, 0.0), axis=1)
     tvalid = jnp.any(tgrp.live, axis=1)
+    d_t = jnp.max(jnp.where(tgrp.live,
+                            skin_t[tgrp.tgt_idx].reshape(g, bsz), 0.0),
+                  axis=1)                                            # [G]
 
     # source summaries at both granularities: whole blocks (far-field MAC)
     # and sub-blocks (adjacency + near-field MAC)
@@ -192,6 +208,9 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
         pos_sb.reshape(nsub, sub, 3), h_sb.reshape(nsub, sub),
         m_sb.reshape(nsub, sub), sgrp.live.reshape(nsub, sub))
     svalid = s_mass > 0.0
+    sk_sb = jnp.where(sgrp.live, skin_s[sgrp.tgt_idx].reshape(nb, bsz), 0.0)
+    d_b = jnp.max(sk_sb, axis=1)                                    # [NB]
+    d_s = jnp.max(sk_sb.reshape(nsub, sub), axis=1)                 # [NSUB]
 
     # ---- [G, NSUB] geometry pass: SPH adjacency ----
     gap = jnp.maximum(
@@ -199,24 +218,32 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
                     s_amin[None, :, :] - thi[:, None, :]), 0.0)
     gap2 = jnp.sum(gap * gap, axis=-1)
     cut = (cfg.kappa * (1.0 + h_margin)
-           * jnp.maximum(t_hmax[:, None], s_hmax[None, :]) + 2.0 * skin)
+           * jnp.maximum(t_hmax[:, None], s_hmax[None, :])
+           + d_t[:, None] + d_s[None, :])
     sph_adj = (gap2 < cut * cut) & tvalid[:, None] & svalid[None, :]
     sph_idx, n_sph, sph_over = _compact_rows(sph_adj, cfg.nbr_window)
 
     if do_grav:
-        pad_sk = 3.5 * skin
-        tlo_p = tlo[:, None, :] - pad_sk
-        thi_p = thi[:, None, :] + pad_sk
+        tlo_p = tlo[:, None, :] - d_t[:, None, None]
+        thi_p = thi[:, None, :] + d_t[:, None, None]
+
+        def mac(cm, bmax2, d_src):
+            """Motion-conservative MAC: the frozen acceptance must hold for
+            the whole rebuild period, so the box-to-CM distance is reduced
+            by the source bound and bmax grown by twice it (internal
+            motion can both shrink d and widen the source extent)."""
+            dd = jnp.maximum(jnp.maximum(tlo_p - cm[None, :, :],
+                                         cm[None, :, :] - thi_p), 0.0)
+            d_eff = jnp.maximum(
+                jnp.sqrt(jnp.sum(dd * dd, axis=-1)) - d_src[None, :], 0.0)
+            b_eff = jnp.sqrt(jnp.maximum(bmax2, 0.0))[None, :] \
+                + 2.0 * d_src[None, :]
+            return accept_bmax(d_eff * d_eff, b_eff * b_eff, cfg.theta)
+
         # block-level MAC -> dense block-monopole scan
-        db = jnp.maximum(jnp.maximum(tlo_p - b_cm[None, :, :],
-                                     b_cm[None, :, :] - thi_p), 0.0)
-        mac_blk = accept_bmax(jnp.sum(db * db, axis=-1),
-                              b_bmax2[None, :], cfg.theta)
+        mac_blk = mac(b_cm, b_bmax2, d_b)
         # sub-level MAC on the block-rejected remainder
-        ds = jnp.maximum(jnp.maximum(tlo_p - s_cm[None, :, :],
-                                     s_cm[None, :, :] - thi_p), 0.0)
-        mac_sub = accept_bmax(jnp.sum(ds * ds, axis=-1),
-                              s_bmax2[None, :], cfg.theta)
+        mac_sub = mac(s_cm, s_bmax2, d_s)
         covered = mac_blk & bvalid[None, :]
         if cfg.sg_blocks > 1:
             # ---- supergroup far tier ----
@@ -240,11 +267,8 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
             sb_ = jnp.maximum(jnp.maximum(sg_hi - sg_cm, sg_cm - sg_lo), 0.0)
             sg_bmax2 = jnp.where(sg_mass > 0.0,
                                  jnp.sum(sb_ * sb_, axis=-1), 0.0)
-            dsg = jnp.maximum(jnp.maximum(tlo_p - sg_cm[None, :, :],
-                                          sg_cm[None, :, :] - thi_p), 0.0)
-            mac_sg = (accept_bmax(jnp.sum(dsg * dsg, axis=-1),
-                                  sg_bmax2[None, :], cfg.theta)
-                      & (sg_mass > 0.0)[None, :])
+            d_sg = jnp.max(jnp.pad(d_b, (0, padb)).reshape(nsg, sgf), axis=1)
+            mac_sg = mac(sg_cm, sg_bmax2, d_sg) & (sg_mass > 0.0)[None, :]
             sg_cover = jnp.repeat(mac_sg, sgf, axis=1)[:, :nb]
             # block-monopole tier: block passes the MAC, its supergroup
             # does not — windowed entries instead of a dense scan

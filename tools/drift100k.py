@@ -38,16 +38,20 @@ from planetmodel_sph_tpu.models import ics, planet
 from planetmodel_sph_tpu.utils import checkpoint, diagnostics
 
 
-def build_cfg(args, settle: bool):
+def build_cfg(args, settle: bool, widen: float = 1.0):
     kw = dict(grad_p_mode="grad_h", h_mode="newton") \
         if args.preset == "gradh" else {}
     if args.cfl:
         kw.update(dt_mode="cfl", cfl_number=0.25)
     if args.h_max:
         kw.update(h_max=args.h_max)
-    if args.windows:
-        nw, pw, mw = (int(x) for x in args.windows.split(","))
-        kw.update(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+    nw, pw, mw = ((int(x) for x in args.windows.split(","))
+                  if args.windows else
+                  (psph.jupiter_100k().nbr_window,
+                   psph.jupiter_100k().p2p_window,
+                   psph.jupiter_100k().m2p_window))
+    r16 = lambda v: -(-int(v * widen) // 16) * 16
+    kw.update(nbr_window=r16(nw), p2p_window=r16(pw), m2p_window=r16(mw))
     if settle:
         kw.update(vel_damping=args.damp,
                   av_alpha=args.av, av_beta=2.0 * args.av)
@@ -95,31 +99,42 @@ def main():
 
     runners = {}
 
-    def advance(state, k, settle):
-        key = (k, settle)
+    def advance(state, k, settle, widen):
+        key = (k, settle, widen)
         if key not in runners:
-            cfg = build_cfg(args, settle)
+            cfg = build_cfg(args, settle, widen)
             runners[key] = (jax.jit(lambda s: planet.run_info(s, cfg, k)), cfg)
         fn, cfg = runners[key]
         return fn(state), cfg
 
     step = step0
+    widen = 1.0
     while step < args.target:
         settle = step < args.settle
         k = min(args.chunk,
                 (args.settle if settle else args.target) - step)
-        (state, info), cfg = advance(state, k, settle)
+        (state2, info), cfg = advance(state, k, settle, widen)
+        over = (int(info["nbr_overflow"]), int(info["tree_overflow"]))
+        if sum(over) > 0 and widen < 2.5:
+            # overflow corrupts the chunk's physics (dropped interactions
+            # break force symmetry): discard it, widen every window 25%,
+            # and retry the same span from the pre-chunk state
+            widen = round(widen * 1.25, 4)
+            print(f"step {step}: overflow {over} -> windows x{widen}, "
+                  f"chunk retried", flush=True)
+            continue
+        state = state2
         d = {k2: float(v) for k2, v in diagnostics.measure(state, cfg).items()}
         d["step"] = step = step + k
         d["phase"] = "settle" if settle else "drift"
-        d["nbr_overflow"] = int(info["nbr_overflow"])
-        d["tree_overflow"] = int(info["tree_overflow"])
+        d["nbr_overflow"], d["tree_overflow"] = over
+        d["window_widen"] = widen
         with open(jsonl, "a") as f:
             f.write(json.dumps(d) + "\n")
         checkpoint.save(ck, jax.device_get(state), cfg, step)
         print(f"step {step} [{d['phase']}]: E={d['total_energy']:.6g} "
               f"vmax={d['vel_max']:.3f} nn={d['neighbors_avg']:.1f} "
-              f"over=({d['nbr_overflow']},{d['tree_overflow']})", flush=True)
+              f"over={over}", flush=True)
     print("target reached", flush=True)
     return 0
 
