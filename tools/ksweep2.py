@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""100k config sweep from a SETTLED checkpoint: steps/s + window stats.
+
+Round-2 learned the hard way that window sizing measured on the early
+cold ball does not transfer to the equilibrium state (the polytrope core
+is ~8x denser); this sweep loads the drift run's settled checkpoint so
+every number reflects the production operating point.
+
+  python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
+      --var base --var sg8 --var k16
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from planetmodel_sph_tpu import config as config_mod
+from planetmodel_sph_tpu.models import planet
+from planetmodel_sph_tpu.ops import structure
+from planetmodel_sph_tpu.utils import checkpoint
+
+VARIANTS = {
+    # name -> overrides on top of jupiter_100k
+    "base":  dict(),
+    "sg4":   dict(sg_blocks=4, blk_window=256),
+    "sg8":   dict(sg_blocks=8, blk_window=256),
+    "sg16":  dict(sg_blocks=16, blk_window=320),
+    "k16":   dict(rebuild_every=16, sort_every=64),
+    "k4":    dict(rebuild_every=4, sort_every=64),
+    "sg8k16": dict(sg_blocks=8, blk_window=256, rebuild_every=16,
+                   sort_every=64),
+    "sub16": dict(nbr_sub=16, nbr_window=320, p2p_window=512,
+                  m2p_window=320),
+    "b32":   dict(nbr_group_size=32, nbr_sub=16, nbr_window=256,
+                  p2p_window=416, m2p_window=256),
+    "b128":  dict(nbr_group_size=128, nbr_sub=32, nbr_window=128,
+                  p2p_window=160, m2p_window=96),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ck", default="docs/results/drift100k/state.psph")
+    ap.add_argument("--var", action="append", default=[])
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--windows", default="192,320,192",
+                    help="base nbr,p2p,m2p windows")
+    args = ap.parse_args()
+    names = args.var or ["base", "sg8", "k16", "sg8k16"]
+
+    state, _, step0 = checkpoint.load(args.ck)
+    print(f"checkpoint at step {step0}", flush=True)
+    nw, pw, mw = (int(x) for x in args.windows.split(","))
+
+    for name in names:
+        kw = dict(grad_p_mode="grad_h", h_mode="newton",
+                  nbr_window=nw, p2p_window=pw, m2p_window=mw)
+        kw.update(VARIANTS[name])
+        cfg = config_mod.jupiter_100k(**kw)
+        try:
+            r = jax.jit(lambda s: planet.run_info(s, cfg, args.steps))
+            out, info = r(state)
+            float(jnp.sum(out.pos))                    # warm + compile
+            t0 = time.perf_counter()
+            out, info = r(state)
+            float(jnp.sum(out.pos))                    # honest readback
+            dt = (time.perf_counter() - t0) / args.steps
+            skin = planet._skin(cfg, state.vel, state.accel)
+            st = jax.jit(lambda p, h, m, s: structure.build(
+                p, h, m, cfg, skin=s))(state.pos, state.h, state.mass, skin)
+            print(f"{name:8s}: {dt*1e3:6.1f} ms/step = {1/dt:5.1f} steps/s  "
+                  f"windows avg/max: sph {float(jnp.mean(st.n_sph)):.0f}/"
+                  f"{int(jnp.max(st.n_sph))} p2p "
+                  f"{float(jnp.mean(st.n_p2p)):.0f}/{int(jnp.max(st.n_p2p))} "
+                  f"m2p {float(jnp.mean(st.n_m2p)):.0f}/"
+                  f"{int(jnp.max(st.n_m2p))} blk "
+                  f"{float(jnp.mean(st.n_blk)):.0f}/{int(jnp.max(st.n_blk))} "
+                  f"over=({int(info['nbr_overflow'])},"
+                  f"{int(info['tree_overflow'])})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
