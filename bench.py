@@ -26,7 +26,8 @@ def main() -> int:
     print(json.dumps(result), flush=True)
 
     try:
-        big = run_bench(n=100_000, steps=64, preset="jupiter_100k")
+        big = run_bench(n=100_000, steps=64, preset="jupiter_100k",
+                        checkpoint_path="docs/results/drift100k/state.psph")
         big["metric"] = "particle_steps_per_sec_n100000"
         big["vs_baseline"] = round(
             big["value"] / NORTH_STAR_PARTICLE_STEPS_PER_SEC, 3)

@@ -28,13 +28,28 @@ def _force(state):
 
 
 def run_bench(n: int = 3000, steps: int = 200,
-              preset: str = "jupiter_3k") -> dict:
-    preset_fn = getattr(config_mod, preset)
-    cfg = preset_fn(n=n) if n else preset_fn()
+              preset: str = "jupiter_3k",
+              checkpoint_path: str | None = None) -> dict:
+    """`checkpoint_path`: optional settled-state checkpoint. Benchmarking
+    the cold ball's early transient flatters the 100k number (the
+    equilibrium core is ~8x denser than the young collapse state, with
+    correspondingly fuller interaction windows); when the settled
+    artifact exists, the bench loads it and reports the production
+    operating point instead. The checkpoint's own (overflow-validated)
+    config is used."""
+    import os
+    operating_point = "early_transient"
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        from .utils import checkpoint as ck_mod
+        state, cfg, _ = ck_mod.load(checkpoint_path)
+        operating_point = "settled"
+    else:
+        preset_fn = getattr(config_mod, preset)
+        cfg = preset_fn(n=n) if n else preset_fn()
 
-    # jit the priming eval: the eager per-op path materializes unfused
-    # broadcast tiles (OOM at 100k)
-    state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
+        # jit the priming eval: the eager per-op path materializes unfused
+        # broadcast tiles (OOM at 100k)
+        state = jax.jit(lambda s: planet.prime(s, cfg))(ics.jupiter(cfg))
     # warm up with the SAME static step count so compilation (and the scan
     # program) is fully cached before the timed region
     state = _force(planet.run(state, cfg, steps))
@@ -53,5 +68,6 @@ def run_bench(n: int = 3000, steps: int = 200,
         "steps_per_sec": round(steps_per_sec, 2),
         "n": cfg.n,
         "wall_s": round(dt_wall, 3),
+        "operating_point": operating_point,
         "device": str(jax.devices()[0]),
     }

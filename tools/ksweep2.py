@@ -34,12 +34,17 @@ VARIANTS = {
     "k4":    dict(rebuild_every=4, sort_every=64),
     "sg8k16": dict(sg_blocks=8, blk_window=256, rebuild_every=16,
                    sort_every=64),
-    "sub16": dict(nbr_sub=16, nbr_window=320, p2p_window=512,
-                  m2p_window=320),
-    "b32":   dict(nbr_group_size=32, nbr_sub=16, nbr_window=256,
-                  p2p_window=416, m2p_window=256),
-    "b128":  dict(nbr_group_size=128, nbr_sub=32, nbr_window=128,
-                  p2p_window=160, m2p_window=96),
+    "k32":   dict(rebuild_every=32, sort_every=64),
+    "k16t":  dict(rebuild_every=16, sort_every=64, nbr_window=208,
+                  p2p_window=288, m2p_window=144),
+    "sub16": dict(nbr_sub=16, rebuild_every=16, sort_every=64,
+                  nbr_window=352, p2p_window=480, m2p_window=288),
+    "b32":   dict(nbr_group_size=32, nbr_sub=16, rebuild_every=16,
+                  sort_every=64, nbr_window=288, p2p_window=416,
+                  m2p_window=256),
+    "b128":  dict(nbr_group_size=128, nbr_sub=32, rebuild_every=16,
+                  sort_every=64, nbr_window=160, p2p_window=224,
+                  m2p_window=128),
 }
 
 
