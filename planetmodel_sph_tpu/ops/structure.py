@@ -47,6 +47,7 @@ from . import eos as eos_ops
 from . import grouping
 from .gravity import accept_bmax
 from .pallas import groups as gk
+from .pallas import groups2 as gk2
 
 
 class BlockStructure(NamedTuple):
@@ -388,8 +389,6 @@ def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
         if need_vel:
             t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
     t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
-    t["oid"] = (tgrp.tgt_idx
-                + jnp.asarray(target_offset, jnp.int32)).astype(pos.dtype)
 
     if single:
         s = dict(t)
@@ -408,8 +407,12 @@ def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
         if vel_s is not None:
             s.update(vx=scols[5], vy=scols[6], vz=scols[7])
         s["ih"] = 1.0 / jnp.where(s["h"] > 0, s["h"], 1.0)
-        s["oid"] = sgrp.tgt_idx.astype(pos.dtype)
         s["live"] = sgrp.live.reshape(-1).astype(pos.dtype)
+    # replica/padding slots carry zero SOURCE mass: the v2 kernels have no
+    # live/oid columns — a dead slot contributes 0 to every sum and self-
+    # pairs are included exactly (see ops/pallas/groups2.py). The TARGET
+    # mass t["m"] keeps the real value (h-solve and self-phi correction).
+    s["m"] = s["m"] * s["live"]
     return _Ctx(t, s, single, g, nb)
 
 
@@ -454,7 +457,7 @@ def _cols(*xs):
 
 
 def _geom(s):
-    return [s["x"], s["y"], s["z"], s["ih"], s["m"], s["oid"], s["live"]]
+    return [s["x"], s["y"], s["z"], s["ih"], s["m"]]
 
 
 def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
@@ -476,15 +479,17 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     if src1 is None:
         src1 = _window_gather(_geom(s), st.sph_idx,
                               ctx.nb * (bsz // sub), sub, chunk)
-    tgt1 = _cols(t["x"], t["y"], t["z"], tih, t["m"], t["oid"])
+    tgt1 = _cols(t["x"], t["y"], t["z"], tih)
     if gradh:
-        rho_c, nn_c, xi_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk,
-                                     gradh=True)
+        # grad-h pass needs no source h: rows = (x, y, z, m)
+        rho_c, nn_c, xi_c = gk2.pass1_gradh(
+            nv, tgt1, [src1[0], src1[1], src1[2], src1[4]], b=bsz,
+            chunk=chunk)
         rho = jnp.maximum(rho_c[:, 0], 1e-30)
         omega = 1.0 + th * xi_c[:, 0] / (3.0 * rho)
-        return rho, nn_c[:, 0], omega
-    rho_c, nn_c = gk.pass1(nv, tgt1, src1, b=bsz, chunk=chunk)
-    return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0], None
+        return rho, nn_c[:, 0] - 1, omega
+    rho_c, nn_c = gk2.pass1_sym(nv, tgt1, src1, b=bsz, chunk=chunk)
+    return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0] - 1, None
 
 
 def _entry_gather(cols, idx, chunk):
@@ -567,19 +572,25 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
         nv_ring, _cols(t["x"], t["y"], t["z"]), ring_rows, b=bsz,
         chunk=chunk, g_const=cfg.g_const)
 
-    # near tier: particle-particle over sub-block windows
+    # near tier: particle-particle over sub-block windows. The v2 kernel
+    # includes the self pair (dx=0 kills the force; the Dyer-Ip inner
+    # branch adds the finite self potential -2.4 m_i/a_i at x=0, and the
+    # self pair lands in n_direct) — both corrected analytically here.
+    receiver = cfg.softening_mode == "receiver_h"
     nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
     srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
-    phi_p, gpx2, gpy2, gpz2, nd_c = gk.p2p(
-        nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"]), srcp,
-        b=bsz, chunk=chunk,
-        receiver_soft=cfg.softening_mode == "receiver_h",
+    if receiver:
+        srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
+    phi_p, gpx2, gpy2, gpz2, nd_c = gk2.p2p(
+        nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"]), srcp,
+        b=bsz, chunk=chunk, receiver_soft=receiver,
         g_const=cfg.g_const, bf16=bf16)
+    self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
 
-    phi = (phi_m + phi_r + phi_p)[:, 0]
+    phi = (phi_m + phi_r + phi_p)[:, 0] + self_phi
     grad_phi = jnp.concatenate(
         [gmx + grx + gpx2, gmy + gry + gpy2, gmz + grz + gpz2], axis=-1)
-    return phi, grad_phi, nd_c[:, 0], (na_c + nr_c)[:, 0]
+    return phi, grad_phi, nd_c[:, 0] - 1, (na_c + nr_c)[:, 0]
 
 
 def _unsort(st: BlockStructure, fields):
@@ -655,31 +666,45 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
 
     # ---- pass 2: pressure gradient (+ fused AV) ----
+    # Per-particle coefficients are precomputed so the kernel sees ONE
+    # extra field per side; the target-side rho scale is applied after the
+    # sweep (self-pairs contribute 0 to every gradient sum: dx = 0).
     to_src = lambda x: _to_source_layout(x, st, gather_fn)
     nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
-    tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"], t["oid"], rho_t)
-    s_extra = []
+    tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"])
     if gradh:
         om_safe = jnp.maximum(omega, 0.1)   # robustness floor (see dense.py)
         coef_t = prs_t / (om_safe * rho_t * rho_t)
         tgt2 += _cols(coef_t)
-        s_extra += [to_src(coef_t)]
-        if av:
-            s_extra += [to_src(rho_t)]
+        cc = coef_t
+        p_scale = rho_t
+    elif cfg.grad_p_mode == "reference_asymmetric":
+        cc = prs_t / rho_t
+        p_scale = None
     else:
-        tgt2 += _cols(prs_t)
-        s_extra += [to_src(rho_t), to_src(prs_t)]
+        coef_t = prs_t / (rho_t * rho_t)
+        tgt2 += _cols(coef_t)
+        cc = coef_t
+        p_scale = rho_t
+    s_extra = [to_src(cc)]
     if av:
         cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
-        tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t)
-        s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t)]
+        tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t, rho_t)
+        s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t),
+                    to_src(rho_t)]
     extra_rows = _window_gather(s_extra, st.sph_idx, nsub, sub, chunk)
-    gpx, gpy, gpz = gk.pass2(
+    outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
         av_beta=cfg.av_beta)
-    grad_p_t = jnp.concatenate([gpx, gpy, gpz], axis=-1)    # [Gt*B, 3]
+    grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
+    if p_scale is not None:
+        grad_p_t = grad_p_t * p_scale[:, None]
+    if av:
+        # the AV term always carries the target rho scale (all modes)
+        grad_p_t = grad_p_t + jnp.concatenate(outs[3:], axis=-1) \
+            * rho_t[:, None]
 
     # ---- gravity ----
     if do_grav:

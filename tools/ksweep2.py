@@ -43,8 +43,13 @@ VARIANTS = {
                   sort_every=64, nbr_window=288, p2p_window=416,
                   m2p_window=256),
     "b128":  dict(nbr_group_size=128, nbr_sub=32, rebuild_every=16,
-                  sort_every=64, nbr_window=160, p2p_window=224,
-                  m2p_window=128),
+                  sort_every=64, nbr_window=256, p2p_window=352,
+                  m2p_window=384),
+    "sub16b": dict(nbr_sub=16, rebuild_every=16, sort_every=64,
+                   nbr_window=352, p2p_window=480, m2p_window=480),
+    "b128s16": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
+                    sort_every=64, nbr_window=448, p2p_window=640,
+                    m2p_window=640),
 }
 
 

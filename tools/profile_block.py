@@ -24,6 +24,7 @@ from planetmodel_sph_tpu import config as config_mod
 from planetmodel_sph_tpu.models import ics, planet
 from planetmodel_sph_tpu.ops import structure, eos as eos_ops
 from planetmodel_sph_tpu.ops.pallas import groups as gk
+from planetmodel_sph_tpu.ops.pallas import groups2 as gk2
 
 
 def timed(label, fn, args, k=8):
@@ -44,15 +45,28 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--only", default=None,
                     help="comma-separated stage filter")
+    ap.add_argument("--ck", default=None,
+                    help="settled checkpoint: profile the production "
+                         "operating point instead of the cold IC")
+    ap.add_argument("--windows", default=None,
+                    help="nbr,p2p,m2p window override")
     args = ap.parse_args()
     want = set(args.only.split(",")) if args.only else None
 
     def on(name):
         return want is None or name in want
 
-    cfg = config_mod.jupiter_100k(n=args.n)
-    state = ics.jupiter(cfg)
-    state = planet.prime(state, cfg.replace(rebuild_every=1))
+    kw = {}
+    if args.windows:
+        nw, pw, mw = (int(x) for x in args.windows.split(","))
+        kw = dict(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+    cfg = config_mod.jupiter_100k(n=args.n, **kw)
+    if args.ck:
+        from planetmodel_sph_tpu.utils import checkpoint
+        state, _, _ = checkpoint.load(args.ck)
+    else:
+        state = ics.jupiter(cfg)
+        state = planet.prime(state, cfg.replace(rebuild_every=1))
     pos, h, mass = state.pos, state.h, state.mass
     bsz, chunk = cfg.nbr_group_size, cfg.block_chunk
     print(f"n={cfg.n}  bsz={bsz}  W={cfg.nbr_window} "
@@ -97,7 +111,8 @@ def main():
     ctx = jax.jit(lambda p, hh, m, st_: structure._prep_ctx(p, hh, m, cfg,
                                                             st_))(
         pos, h, mass, st)
-    scols = structure._geom(ctx.s)
+    scols = structure._geom(ctx.s)          # v2: [x, y, z, ih, m]
+    sub = cfg.nbr_sub
     nsub = ctx.nb * (bsz // sub)
 
     if on("gather"):
@@ -119,56 +134,65 @@ def main():
                                                    chunk))(scols, st.sph_idx)
     nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
     t = ctx.t
-    tgt1 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["m"], t["oid"])
+    tgt1 = structure._cols(t["x"], t["y"], t["z"], t["ih"])
+    gradh = cfg.grad_p_mode == "grad_h"
 
     if on("pass1"):
         def p1_k(tg, rows, nv_, k_):
             def body(c, _):
                 tg2 = [tg[0] + c] + tg[1:]
-                rho, nn = gk.pass1(nv_, tg2, rows, b=bsz, chunk=chunk)
+                if gradh:
+                    rho, nn, xi = gk2.pass1_gradh(
+                        nv_, tg2, [rows[0], rows[1], rows[2], rows[4]],
+                        b=bsz, chunk=chunk)
+                else:
+                    rho, nn = gk2.pass1_sym(nv_, tg2, rows, b=bsz,
+                                            chunk=chunk)
                 return c + 1e-12 * rho[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
         timed("pass1 kernel", p1_k, (tgt1, geom_rows, nv), k=args.k)
 
-    rho_t, nn_t, _ = jax.jit(
+    rho_t, nn_t, omega = jax.jit(
         lambda c_, rows: structure._density_sweep(c_, cfg, st, src1=rows))(
         ctx, geom_rows)
     prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
-    tgt2 = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"],
-                           rho_t, prs_t)
+    cc = prs_t / (rho_t * rho_t)
+    tgt2 = structure._cols(t["x"], t["y"], t["z"], t["ih"], cc)
     extra_rows = jax.jit(
         lambda cols, idx: structure._window_gather(cols, idx, nsub, sub,
                                                    chunk))(
-        [rho_t, prs_t], st.sph_idx)
+        [cc], st.sph_idx)
 
     if on("pass2"):
         def p2_k(tg, rows, nv_, k_):
             def body(c, _):
                 tg2 = [tg[0] + c] + tg[1:]
-                gx, gy, gz = gk.pass2(nv_, tg2, rows, b=bsz, chunk=chunk,
-                                      mode=cfg.grad_p_mode, av=False,
-                                      sign_bug=False)
-                return c + 1e-12 * gx[0, 0], None
+                outs = gk2.pass2(nv_, tg2, rows, b=bsz, chunk=chunk,
+                                 mode="grad_h" if gradh else "symmetric",
+                                 av=False, sign_bug=False)
+                return c + 1e-12 * outs[0][0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
         timed("pass2 kernel", p2_k, (tgt2, geom_rows + extra_rows, nv),
               k=args.k)
 
     if on("p2p"):
+        receiver = cfg.softening_mode == "receiver_h"
         p2p_rows = jax.jit(
             lambda cols, idx: structure._window_gather(
                 cols, idx, nsub, sub, chunk))(scols, st.p2p_idx)
+        if receiver:
+            p2p_rows = [p2p_rows[0], p2p_rows[1], p2p_rows[2], p2p_rows[4]]
         nvp = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
-        tgtp = structure._cols(t["x"], t["y"], t["z"], t["ih"], t["oid"])
+        tgtp = structure._cols(t["x"], t["y"], t["z"], t["ih"])
 
         def p2p_k(tg, rows, nv_, k_):
             def body(c, _):
                 tg2 = [tg[0] + c] + tg[1:]
-                phi, gx, gy, gz, nd = gk.p2p(
+                phi, gx, gy, gz, nd = gk2.p2p(
                     nv_, tg2, rows, b=bsz, chunk=chunk,
-                    receiver_soft=cfg.softening_mode == "receiver_h",
-                    g_const=cfg.g_const)
+                    receiver_soft=receiver, g_const=cfg.g_const)
                 return c + 1e-12 * phi[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
