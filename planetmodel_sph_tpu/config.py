@@ -123,6 +123,18 @@ class SimConfig:
                                    # physics; must divide nbr_group_size)
     nbr_window: int = 192          # adjacent source SUB-blocks per target
                                    # block (overflow counted, never wrapped)
+    # Particle-granularity SPH candidate lists (0 = off). When set, the
+    # rebuild refines the sub-block window ONCE per rebuild period: it
+    # gathers the candidate particles behind the sub-block window and
+    # keeps only those within the (skin- and h-margin-inflated) support
+    # cutoff of the target block's AABB, compacted to a [G, this] window
+    # of particle ids. The sub-block window stays conservative at sub-AABB
+    # granularity, so most of its pair slots are geometric padding
+    # (measured 2560 slots/target for ~55 real neighbors at the settled
+    # 100k point vs ~340 exact); every per-step SPH sweep then runs ~5x
+    # fewer slots, for one amortized extra pass at rebuild. Overflow is
+    # counted in the same sph_overflow counter.
+    sph_exact_window: int = 0
     nbr_group_level: int = 4       # blocks never cross cells of this octree
                                    # level (kills Morton-seam blocks)
     # Block-unified pipeline (ops/structure.py) static sizing. Gravity is a
@@ -184,6 +196,15 @@ class SimConfig:
     # correctness. Rationale: a 100k argsort costs ~2.5s on this TPU
     # (tools/profile_build.py) — the sort must amortize over many rebuilds.
     sort_every: int = 0
+    # Keep the state in the padded Morton-sorted [G*B] layout for the whole
+    # rebuild period (grid mode): run_chunk_cached sorts every per-particle
+    # field ONCE after the rebuild, steps with structure.forces(sorted_io=
+    # True) — no per-step sort/unsort gathers — and unsorts once at the
+    # chunk boundary. Bitwise-identical results: padding slots duplicate
+    # their cell's last particle, integrate to identical values, and are
+    # dropped on the unsort gather. Saves ~2 x 8-field layout gathers per
+    # step (~5ms/step at 100k, tools/profile_block.py).
+    sorted_chunks: bool = True
 
     # ---- velocity damping (settling runs; new capability) ----
     # v <- v * exp(-vel_damping * dt) after each kick. Quasi-statically

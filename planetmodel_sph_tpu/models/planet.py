@@ -138,19 +138,22 @@ def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
 
 
 def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None,
-                  solve_h=True) -> Forces:
+                  solve_h=True, sorted_io=False) -> Forces:
     """Grid-mode force evaluation on the unified block pipeline.
 
     `solve_h`: run the bounded Newton h-solve (h_mode='newton') before the
     sweeps. The cached runner passes False inside chunks (h must stay frozen
     between structure rebuilds) and solves at chunk boundaries instead.
+    `sorted_io`: state is already in the padded sorted layout (see
+    SimConfig.sorted_chunks); outputs stay sorted.
     """
     from ..ops import structure
     if (solve_h and cfg.adaptive_h and cfg.h_mode == "newton"
             and cfg.grad_p_mode == "grad_h"):
         h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
         st = structure.build(pos, h, mass, cfg)
-    bf = structure.forces(pos, h, mass, cfg, st, vel=vel)
+    bf = structure.forces(pos, h, mass, cfg, st, vel=vel,
+                          sorted_io=sorted_io)
     accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
                   bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h)
@@ -452,8 +455,19 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
                                              cfg))
     st = _build_caches(state.pos, state.h, state.mass, state.vel,
                        cfg, accel=state.accel, groups=groups)
-    forces_fn = lambda p, hh, m, vel=None: _forces_cached(
-        p, hh, m, cfg, st, vel=vel)
+    sorted_chunk = cfg.neighbor_mode == "grid" and cfg.sorted_chunks
+    if sorted_chunk:
+        # keep the whole chunk in the padded Morton-sorted layout: one
+        # 13-field sort gather here, one unsort gather at the end, zero
+        # per-step layout moves (cfg.sorted_chunks)
+        grp = st.groups
+        run_state = jax.tree.map(lambda x: x[grp.tgt_idx], state)
+        forces_fn = lambda p, hh, m, vel=None: _forces_block(
+            p, hh, m, cfg, st, vel=vel, solve_h=False, sorted_io=True)
+    else:
+        run_state = state
+        forces_fn = lambda p, hh, m, vel=None: _forces_cached(
+            p, hh, m, cfg, st, vel=vel)
     if _uses_block_cache(cfg):
         from ..ops import structure
         info = structure.overflow_info(st)
@@ -470,7 +484,9 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
     def body(s, _):
         return one(s), None
 
-    out, _ = jax.lax.scan(body, state, None, length=k)
+    out, _ = jax.lax.scan(body, run_state, None, length=k)
+    if sorted_chunk:
+        out = jax.tree.map(lambda x: x[grp.unsort_idx], out)
     if return_groups:
         grps = st.groups if _uses_block_cache(cfg) else None
         return out, info, grps

@@ -61,8 +61,11 @@ class BlockStructure(NamedTuple):
     (`m2p_idx`), near sub-blocks feed windowed P2P (`p2p_idx`)."""
     groups: grouping.Groups      # target grouping (frozen Morton sort)
     src_groups: grouping.Groups  # source grouping (same object single-set)
-    sph_idx: jax.Array           # [G, Ws] adjacent source sub-block ids
-    n_sph: jax.Array             # [G]    true adjacency row sizes
+    sph_idx: jax.Array           # [G, Ws] adjacent source sub-block ids,
+                                 # or [G, Wx] sorted-layout PARTICLE ids
+                                 # when cfg.sph_exact_window > 0
+    n_sph: jax.Array             # [G]    true adjacency row sizes (sub-
+                                 # blocks, or particles when exact)
     p2p_idx: jax.Array           # [G, Wp] near-field sub-block ids
     n_p2p: jax.Array             # [G]
     m2p_idx: jax.Array           # [G, Wm] ring sub-block ids (monopoles)
@@ -103,6 +106,57 @@ def _compact_rows(adj, w):
     return idx, n, overflow
 
 
+def _refine_exact(sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
+                  live_sb, pos_t, h_t, sk_t, cfg, h_margin, nsub, sub,
+                  chunk):
+    """Refine sub-block SPH windows to PARTICLE-granularity candidate lists.
+
+    The sub-block window is conservative at sub-AABB granularity; most of
+    its pair slots are geometric padding (measured 2560 slots/target for
+    ~55 real neighbors at the settled 100k point, and a group-AABB-vs-
+    max-h refinement still keeps 770 — halo particles inflate the group's
+    h max). This REBUILD-time pass instead evaluates the TRUE pair
+    predicate: one light Pallas sweep over the gathered candidates marks
+    every candidate that interacts with at least one target in the group
+    under the per-particle (skin- and h-margin-inflated) cutoff
+    r < kappa*(1+margin)*max(h_i, h_j) + skin_i + skin_j — the same
+    conservative bound the sub-block criterion lifts to AABBs — then the
+    :func:`_compact_rows` sort trick compacts the survivors into a
+    [G, Wx] window of sorted-layout particle ids. Per-step sweeps then
+    run the exact neighbor-set union of the group.
+    """
+    g, w = sph_idx.shape
+    wx = cfg.sph_exact_window
+    keff = cfg.kappa * (1.0 + h_margin)
+    xs = pos_sb[..., 0].reshape(-1)
+    ys = pos_sb[..., 1].reshape(-1)
+    zs = pos_sb[..., 2].reshape(-1)
+    cs = keff * h_sb.reshape(-1)
+    ms = jnp.where(live_sb, m_sb, 0.0).reshape(-1)
+    sks = sk_sb.reshape(-1)
+    cand = _window_gather([xs, ys, zs, cs, sks, ms], sph_idx, nsub, sub,
+                          chunk)
+    tgt = _cols(pos_t[..., 0].reshape(-1), pos_t[..., 1].reshape(-1),
+                pos_t[..., 2].reshape(-1), keff * h_t.reshape(-1),
+                sk_t.reshape(-1))
+    nv = jnp.minimum(n_sph, w) * sub
+    keep = gk2.filter_sph(nv, tgt, cand, b=cfg.nbr_group_size, chunk=chunk)
+    wc = w * sub
+    mask = keep[:, :wc] > 0.0
+    cid = (jnp.clip(sph_idx, 0, nsub - 1)[:, :, None] * sub
+           + jnp.arange(sub, dtype=jnp.int32)[None, None, :]).reshape(g, wc)
+    big = jnp.int32(nsub * sub)
+    keys = jnp.where(mask, cid, big)
+    if wc < wx:
+        keys = jnp.pad(keys, ((0, 0), (0, wx - wc)), constant_values=big)
+    srt = jax.lax.sort(keys, dimension=1)[:, :wx]
+    n_x = jnp.sum(mask, axis=1).astype(jnp.int32)
+    idx = jnp.where(jnp.arange(wx, dtype=jnp.int32)[None, :] < n_x[:, None],
+                    srt, -1)
+    over = sph_over + jnp.sum(jnp.maximum(n_x - wx, 0))
+    return idx, n_x, over
+
+
 def _block_stats(pos_b, h_b, m_b, live):
     """Per-block summaries from sorted [NB, B] fields (live-masked)."""
     big = jnp.asarray(3e30, pos_b.dtype)
@@ -123,7 +177,8 @@ def _block_stats(pos_b, h_b, m_b, live):
 
 def build(pos, h, mass, cfg: SimConfig, skin=0.0,
           src=None, target_offset: int = 0,
-          h_margin: float = 0.0, groups=None) -> BlockStructure:
+          h_margin: float = 0.0, groups=None,
+          sph_only: bool = False) -> BlockStructure:
     """Build windows + MAC mask for the current positions/smoothing lengths.
 
     `skin`: Verlet margin — a PER-PARTICLE motion bound [N] (original
@@ -141,13 +196,16 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     (cfg.sort_every amortization; single-set only). Every AABB/centroid/
     window is still recomputed from the CURRENT positions, so the structure
     stays exactly conservative — staleness only loosens block tightness.
+    `sph_only`: skip the gravity partition (MAC + tier sorts) — for
+    throwaway structures that only feed density sweeps (the Newton
+    h-solve), worth ~half the build cost.
     """
     single = src is None
     pos_s, h_s, mass_s = (pos, h, mass) if single else src
     bsz = cfg.nbr_group_size
     lg = cfg.nbr_group_level
     chunk = cfg.block_chunk
-    do_grav = cfg.gravity_solver == "tree"
+    do_grav = cfg.gravity_solver == "tree" and not sph_only
 
     if groups is not None:
         if not single:
@@ -223,6 +281,11 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
            + d_t[:, None] + d_s[None, :])
     sph_adj = (gap2 < cut * cut) & tvalid[:, None] & svalid[None, :]
     sph_idx, n_sph, sph_over = _compact_rows(sph_adj, cfg.nbr_window)
+    if cfg.sph_exact_window > 0:
+        sk_t = skin_t[tgrp.tgt_idx].reshape(g, bsz)
+        sph_idx, n_sph, sph_over = _refine_exact(
+            sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
+            sgrp.live, pos_t, h_t, sk_t, cfg, h_margin, nsub, sub, chunk)
 
     if do_grav:
         tlo_p = tlo[:, None, :] - d_t[:, None, None]
@@ -456,6 +519,26 @@ def _cols(*xs):
     return [x[:, None] for x in xs]
 
 
+def _sph_nv(st: BlockStructure, cfg: SimConfig):
+    """Valid pair-slot count per target group for the SPH window."""
+    if cfg.sph_exact_window > 0:
+        return jnp.minimum(st.n_sph, cfg.sph_exact_window)
+    return jnp.minimum(st.n_sph, cfg.nbr_window) * cfg.nbr_sub
+
+
+def _sph_rows(cols, st: BlockStructure, cfg: SimConfig, nb):
+    """Gather SPH source rows through the window: contiguous sub-block
+    rows (sub-granularity windows) or one packed per-particle row gather
+    (exact candidate lists; measured 2.9ms for [2067,512]x6 fields —
+    tools/micro_gather.py)."""
+    if cfg.sph_exact_window > 0:
+        return _entry_gather(cols, st.sph_idx, cfg.block_chunk)
+    sub = cfg.nbr_sub
+    return _window_gather(cols, st.sph_idx,
+                          nb * (cfg.nbr_group_size // sub), sub,
+                          cfg.block_chunk)
+
+
 def _geom(s):
     return [s["x"], s["y"], s["z"], s["ih"], s["m"]]
 
@@ -469,16 +552,14 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     the cutoffs by its h_margin). `src1` reuses pre-gathered geometry rows.
     """
     bsz = cfg.nbr_group_size
-    sub = cfg.nbr_sub
     chunk = cfg.block_chunk
     gradh = cfg.grad_p_mode == "grad_h"
     t, s = ctx.t, ctx.s
     tih = t["ih"] if t_ih is None else t_ih
     th = t["h"] if t_h is None else t_h
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
+    nv = _sph_nv(st, cfg)
     if src1 is None:
-        src1 = _window_gather(_geom(s), st.sph_idx,
-                              ctx.nb * (bsz // sub), sub, chunk)
+        src1 = _sph_rows(_geom(s), st, cfg, ctx.nb)
     tgt1 = _cols(t["x"], t["y"], t["z"], tih)
     if gradh:
         # grad-h pass needs no source h: rows = (x, y, z, m)
@@ -641,7 +722,6 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     """
     n = pos.shape[0]
     bsz = cfg.nbr_group_size
-    sub = cfg.nbr_sub
     chunk = cfg.block_chunk
     do_grav = cfg.gravity_solver == "tree"
     gradh = cfg.grad_p_mode == "grad_h"
@@ -655,11 +735,10 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
                     src=src, target_offset=target_offset,
                     sorted_io=sorted_io)
     t, s = ctx.t, ctx.s
-    nsub = ctx.nb * (bsz // sub)
 
     # gather the geometry channels ONCE; pass 1 and pass 2 reuse the same
     # row arrays (the P2P sweep gathers via its own windows)
-    geom_rows = _window_gather(_geom(s), st.sph_idx, nsub, sub, chunk)
+    geom_rows = _sph_rows(_geom(s), st, cfg, ctx.nb)
 
     # ---- pass 1: density (+ grad-h Omega) ----
     rho_t, nn_t, omega = _density_sweep(ctx, cfg, st, src1=geom_rows)
@@ -670,7 +749,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     # extra field per side; the target-side rho scale is applied after the
     # sweep (self-pairs contribute 0 to every gradient sum: dx = 0).
     to_src = lambda x: _to_source_layout(x, st, gather_fn)
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
+    nv = _sph_nv(st, cfg)
     tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"])
     if gradh:
         om_safe = jnp.maximum(omega, 0.1)   # robustness floor (see dense.py)
@@ -692,7 +771,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t, rho_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t),
                     to_src(rho_t)]
-    extra_rows = _window_gather(s_extra, st.sph_idx, nsub, sub, chunk)
+    extra_rows = _sph_rows(s_extra, st, cfg, ctx.nb)
     outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av,
@@ -715,6 +794,11 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         nd_t = jnp.zeros_like(nn_t)
         na_t = jnp.zeros_like(nn_t)
 
+    if sorted_io:
+        return BlockForces(
+            rho=rho_t, pressure=prs_t, grad_p=grad_p_t, phi=phi_t,
+            grad_phi=grad_phi_t, n_neighbors=nn_t, n_direct=nd_t,
+            n_approx=na_t)
     rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o = _unsort(
         st, [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t, nn_t, nd_t, na_t])
     return BlockForces(
@@ -747,8 +831,13 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     c = cfg.h_newton_clamp
     if cfg.h_max > 0.0:
         h = jnp.minimum(h, cfg.h_max)   # halo cap (see SimConfig.h_max)
+    # throwaway structure: skip the gravity partition, and keep sub-block
+    # windows even when the main pipeline uses exact candidate lists — the
+    # refine pass only amortizes over a full rebuild period, not over
+    # h_newton_iters density sweeps
+    cfg = cfg.replace(sph_exact_window=0)
     st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
-               h_margin=c, groups=groups)
+               h_margin=c, groups=groups, sph_only=True)
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,
                     target_offset=target_offset)
     h0 = ctx.t["h"]
@@ -757,9 +846,7 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
         hi = jnp.minimum(hi, cfg.h_max)
     h_t = h0
     m_t = ctx.t["m"]
-    rows = _window_gather(_geom(ctx.s), st.sph_idx,
-                          ctx.nb * (cfg.nbr_group_size // cfg.nbr_sub),
-                          cfg.nbr_sub, cfg.block_chunk)
+    rows = _sph_rows(_geom(ctx.s), st, cfg, ctx.nb)
     for _ in range(cfg.h_newton_iters):
         ih = 1.0 / jnp.where(h_t > 0, h_t, 1.0)
         rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t,

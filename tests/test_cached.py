@@ -89,6 +89,30 @@ def test_skin_zero_when_disabled():
                                                                rel=1e-5)
 
 
+def test_sorted_chunks_transparent():
+    """cfg.sorted_chunks keeps state Morton-sorted across a rebuild period;
+    results must be bitwise-identical to the per-step sort/unsort path
+    (padding slots duplicate their cell's last particle and integrate to
+    identical values)."""
+    base = dict(n=512, radius=12.0, particle_radius=2.5,
+                neighbor_mode="grid", gravity_solver="tree",
+                adaptive_h=True, rebuild_every=4, sort_every=8)
+    on = psph.default(sorted_chunks=True, **base)
+    off = psph.default(sorted_chunks=False, **base)
+    st = planet.prime(ics.jupiter(on), on)
+    a, ia = planet.run_info(st, on, 10)    # 2 full chunks + remainder
+    b, ib = planet.run_info(st, off, 10)
+    # ULP-tight, not bitwise: the two compiled programs fuse differently,
+    # which reorders a few window reductions (measured 1-ULP phi diffs)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        if jnp.issubdtype(la.dtype, jnp.integer):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        else:
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-5, atol=1e-6)
+    assert int(ia["nbr_overflow"]) == int(ib["nbr_overflow"])
+
+
 def test_cached_dense_direct_also_works():
     # caching machinery must be a no-op-equivalent for the dense pipeline
     base = dict(n=256, radius=10.0, particle_radius=2.2,

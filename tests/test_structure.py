@@ -248,3 +248,43 @@ def test_supergroup_partition_counts_every_block_once():
         assert far.isdisjoint(near) and far.isdisjoint(ring)
         assert near.isdisjoint(ring)
         assert far | near | ring == live_subs
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "grad_h",
+                                  "reference_asymmetric"])
+def test_exact_candidate_lists_match_dense(mode):
+    """cfg.sph_exact_window: the rebuild-time true-predicate refinement
+    (particle-granularity candidate lists) must be transparent — identical
+    densities, neighbor counts, and gradients vs the dense oracle."""
+    cfg = _cfg(grad_p_mode=mode, gravity_solver="none",
+               sph_exact_window=640)
+    pos, h, mass = _cloud(cfg.n, seed=13)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) == 0
+    # the refined window is a particle count now, far below the sub-slot
+    # candidate total (the whole point)
+    assert float(jnp.mean(st.n_sph)) < 0.25 * float(
+        jnp.mean(structure.build(pos, h, mass,
+                                 cfg.replace(sph_exact_window=0)).n_sph)
+        * cfg.nbr_sub)
+    bf = structure.forces(pos, h, mass, cfg, st)
+    dcfg = cfg.replace(neighbor_mode="dense")
+    if mode == "grad_h":
+        rho, omega, nn = dense.density_gradh(pos, h, mass, dcfg)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2_gradh(pos, h, mass, rho, omega, prs, dcfg)
+    else:
+        p1 = dense.pass1(pos, h, mass, dcfg)
+        rho, nn = p1.rho, p1.n_neighbors
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2(pos, h, mass, rho, prs, dcfg)
+    np.testing.assert_allclose(bf.rho, rho, rtol=2e-6)
+    np.testing.assert_array_equal(bf.n_neighbors, nn)
+    np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
+
+
+def test_exact_candidate_overflow_counted_not_silent():
+    cfg = _cfg(sph_exact_window=8, gravity_solver="none")
+    pos, h, mass = _cloud(cfg.n, seed=4)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) > 0

@@ -50,6 +50,14 @@ VARIANTS = {
     "b128s16": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
                     sort_every=64, nbr_window=448, p2p_window=640,
                     m2p_window=640),
+    # particle-granularity SPH candidate lists (sub window = pre-filter)
+    "xw512":  dict(rebuild_every=16, sort_every=64, sph_exact_window=512),
+    "xw640":  dict(rebuild_every=16, sort_every=64, sph_exact_window=640),
+    "xw768":  dict(rebuild_every=16, sort_every=64, sph_exact_window=768),
+    # sorted-chunks ablation (per-step sort/unsort, the round-1 behavior)
+    "xw768ns": dict(rebuild_every=16, sort_every=64, sph_exact_window=768,
+                    sorted_chunks=False),
+    "k16ns":  dict(rebuild_every=16, sort_every=64, sorted_chunks=False),
 }
 
 

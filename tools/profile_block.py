@@ -50,6 +50,10 @@ def main():
                          "operating point instead of the cold IC")
     ap.add_argument("--windows", default=None,
                     help="nbr,p2p,m2p window override")
+    ap.add_argument("--xw", type=int, default=0,
+                    help="sph_exact_window (particle-granularity lists)")
+    ap.add_argument("--gradh", action="store_true",
+                    help="profile the grad_h production physics config")
     args = ap.parse_args()
     want = set(args.only.split(",")) if args.only else None
 
@@ -60,6 +64,10 @@ def main():
     if args.windows:
         nw, pw, mw = (int(x) for x in args.windows.split(","))
         kw = dict(nbr_window=nw, p2p_window=pw, m2p_window=mw)
+    if args.xw:
+        kw["sph_exact_window"] = args.xw
+    if args.gradh:
+        kw.update(grad_p_mode="grad_h", h_mode="newton")
     cfg = config_mod.jupiter_100k(n=args.n, **kw)
     if args.ck:
         from planetmodel_sph_tpu.utils import checkpoint
@@ -116,7 +124,16 @@ def main():
     nsub = ctx.nb * (bsz // sub)
 
     if on("gather"):
-        def gath_k(cols, idx, k_):
+        def gath_k(cols, st_, k_):
+            def body(c, _):
+                cols2 = [cols[0] + c] + cols[1:]
+                rows = structure._sph_rows(cols2, st_, cfg, ctx.nb)
+                return c + 1e-12 * rows[0][0, 0], None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
+            return out
+        timed("sph rows gather (geom x5)", gath_k, (scols, st), k=args.k)
+
+        def gath_p(cols, idx, k_):
             def body(c, _):
                 cols2 = [cols[0] + c] + cols[1:]
                 rows = structure._window_gather(cols2, idx, nsub, sub,
@@ -124,15 +141,24 @@ def main():
                 return c + 1e-12 * rows[0][0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
-        timed("window gather (sph geom x7)", gath_k, (scols, st.sph_idx),
-              k=args.k)
-        timed("window gather (p2p geom x7)", gath_k, (scols, st.p2p_idx),
+        timed("window gather (p2p geom x5)", gath_p, (scols, st.p2p_idx),
               k=args.k)
 
+    if on("hsolve"):
+        def hs_k(p, hh, m, k_):
+            def body(c, _):
+                h2 = structure.solve_h_newton(c, hh, m, cfg,
+                                              planet.h_eta(cfg))
+                return c + 1e-9 * h2[:, None], None
+            out, _ = jax.lax.scan(body, p, None, length=k_)
+            return out
+        timed("h-solve (newton, throwaway build)", hs_k, (pos, h, mass),
+              k=max(2, args.k // 4))
+
     geom_rows = jax.jit(
-        lambda cols, idx: structure._window_gather(cols, idx, nsub, sub,
-                                                   chunk))(scols, st.sph_idx)
-    nv = jnp.minimum(st.n_sph, cfg.nbr_window) * sub
+        lambda cols, st_: structure._sph_rows(cols, st_, cfg, ctx.nb))(
+        scols, st)
+    nv = structure._sph_nv(st, cfg)
     t = ctx.t
     tgt1 = structure._cols(t["x"], t["y"], t["z"], t["ih"])
     gradh = cfg.grad_p_mode == "grad_h"
