@@ -148,8 +148,10 @@ class SimConfig:
     block_chunk: int = 512         # pair-tile lane width (multiple of 128)
     # Supergroup far tier: aggregate sg_blocks consecutive blocks into
     # supergroup monopoles; the dense far-field scan runs over NSG = NB/
-    # sg_blocks supergroup entries (MAC'd against the conservative union-
-    # AABB bmax), and the blocks whose supergroup was MAC-rejected but that
+    # sg_blocks supergroup entries (MAC'd with the tight member bound
+    # bmax_sg = max_b(|cm_b - cm_sg| + bmax_b) — the union-AABB corner
+    # bound measured 2.4x larger on Morton rim blocks, flooding the block
+    # tier), and the blocks whose supergroup was MAC-rejected but that
     # pass the block MAC themselves form a windowed block-monopole tier
     # (blk_window entries). Cuts the far-scan slot count ~sg_blocks-fold —
     # at 100k the [G, NB~2k] dense block scan is ~2ms/step of pure masked

@@ -314,23 +314,22 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
             sgf = cfg.sg_blocks
             nsg = -(-nb // sgf)
             padb = nsg * sgf - nb
-            big = jnp.asarray(3e30, pos.dtype)
             bm_p = jnp.pad(b_mass, (0, padb)).reshape(nsg, sgf)
             cm_p = jnp.pad(b_cm, ((0, padb), (0, 0))).reshape(nsg, sgf, 3)
-            alo_p = jnp.pad(b_amin, ((0, padb), (0, 0)),
-                            constant_values=3e30).reshape(nsg, sgf, 3)
-            ahi_p = jnp.pad(b_amax, ((0, padb), (0, 0)),
-                            constant_values=-3e30).reshape(nsg, sgf, 3)
             sg_mass = jnp.sum(bm_p, axis=1)
             sg_cm = (jnp.sum(bm_p[..., None] * cm_p, axis=1)
                      / jnp.maximum(sg_mass, 1e-30)[:, None])
-            memb = (bm_p > 0.0)[..., None]
-            sg_lo = jnp.min(jnp.where(memb, alo_p, big), axis=1)
-            sg_hi = jnp.max(jnp.where(memb, ahi_p, -big), axis=1)
-            # conservative bmax: sg CM to the union-AABB farthest corner
-            sb_ = jnp.maximum(jnp.maximum(sg_hi - sg_cm, sg_cm - sg_lo), 0.0)
-            sg_bmax2 = jnp.where(sg_mass > 0.0,
-                                 jnp.sum(sb_ * sb_, axis=-1), 0.0)
+            # tight bmax: max over members of |cm_b - cm_sg| + bmax_b
+            # (the union-AABB farthest-corner bound measured 2.4x larger
+            # on Morton-consecutive rim blocks, flooding the blk tier)
+            bb_p = jnp.pad(b_bmax2, (0, padb)).reshape(nsg, sgf)
+            dc = cm_p - sg_cm[:, None, :]
+            dcm = jnp.sqrt(jnp.sum(dc * dc, axis=-1))
+            memb_b = bm_p > 0.0
+            reach = jnp.where(memb_b,
+                              dcm + jnp.sqrt(jnp.maximum(bb_p, 0.0)), 0.0)
+            sg_bmax = jnp.max(reach, axis=1)
+            sg_bmax2 = sg_bmax * sg_bmax
             d_sg = jnp.max(jnp.pad(d_b, (0, padb)).reshape(nsg, sgf), axis=1)
             mac_sg = mac(sg_cm, sg_bmax2, d_sg) & (sg_mass > 0.0)[None, :]
             sg_cover = jnp.repeat(mac_sg, sgf, axis=1)[:, :nb]

@@ -58,6 +58,15 @@ VARIANTS = {
     "xw768ns": dict(rebuild_every=16, sort_every=64, sph_exact_window=768,
                     sorted_chunks=False),
     "k16ns":  dict(rebuild_every=16, sort_every=64, sorted_chunks=False),
+    # overflow-FREE window sizing for the finer-sub / longer-K variants
+    # (the first sweep dropped interactions: sub16 tree_overflow=25.7k)
+    "sub16w": dict(nbr_sub=16, rebuild_every=16, sort_every=64,
+                   nbr_window=352, p2p_window=448, m2p_window=480),
+    "k32w":   dict(rebuild_every=32, sort_every=64, nbr_window=240,
+                   p2p_window=352, m2p_window=192),
+    "b128s16w": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
+                     sort_every=64, nbr_window=416, p2p_window=512,
+                     m2p_window=896),
 }
 
 

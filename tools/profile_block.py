@@ -121,7 +121,9 @@ def main():
         pos, h, mass, st)
     scols = structure._geom(ctx.s)          # v2: [x, y, z, ih, m]
     sub = cfg.nbr_sub
-    nsub = ctx.nb * (bsz // sub)
+    nb = int(ctx.nb)       # jit returned it as a device scalar; later jits
+    ctx = ctx._replace(nb=nb, g=int(ctx.g))  # must see a static Python int
+    nsub = nb * (bsz // sub)
 
     if on("gather"):
         def gath_k(cols, st_, k_):
