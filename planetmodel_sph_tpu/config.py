@@ -135,6 +135,10 @@ class SimConfig:
     # fewer slots, for one amortized extra pass at rebuild. Overflow is
     # counted in the same sph_overflow counter.
     sph_exact_window: int = 0
+    # Exact-list capacity for the Newton h-solve's margin-widened
+    # candidates (0: auto — sph_exact_window * (1+h_newton_clamp)^3
+    # rounded up to a block_chunk multiple).
+    h_solve_window: int = 0
     nbr_group_level: int = 4       # blocks never cross cells of this octree
                                    # level (kills Morton-seam blocks)
     # Block-unified pipeline (ops/structure.py) static sizing. Gravity is a
@@ -159,6 +163,14 @@ class SimConfig:
     # (dense block scan, the round-1 behavior).
     sg_blocks: int = 0
     blk_window: int = 192          # block-monopole window (sg tier only)
+    kernel_gb: int = 1             # target groups batched per Pallas grid
+                                   # step (in-kernel fori + dynamic slices
+                                   # instead of grid steps). MEASURED SLOWER
+                                   # at the settled 100k point (gb=8: pass1
+                                   # 5.27 vs 4.94 ms, p2p 11.5 vs 9.9 — the
+                                   # grid pipeline double-buffers DMA better
+                                   # than an in-kernel loop); kept as a knob
+                                   # for other operating points.
 
     # ---- integration ----
     dt: float = 0.02               # fixed step (TimeManager.asset:6); with

@@ -368,49 +368,97 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False):
 # sub-MAC accepted — the middle tier of the three-tier partition)
 # ---------------------------------------------------------------------------
 
+def _sweep_k(nv, k, rows, chunk, body, init):
+    """Carry-based chunk sweep over group `k`'s row (leading dim of the
+    [gb, 1, S] refs) — the gb-batched variant of :func:`_sweep`."""
+    s = rows[0].shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def step(c, carry):
+        off = pl.multiple_of(c * chunk, chunk)
+        tiles = [r[pl.ds(k, 1), 0, pl.ds(off, chunk)] for r in rows]
+        valid = (iota + off) < nv
+        return body(c, carry, tiles, valid)
+
+    trips = jnp.minimum(pl.cdiv(nv, chunk), s // chunk)
+    return jax.lax.fori_loop(0, trips, step, init)
+
+
 def _m2p_ring_kernel(nv_ref, tx, ty, tz, sm, sx, sy, sz,
                      phi_ref, gx_ref, gy_ref, gz_ref, na_ref,
-                     *, chunk, g_const):
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv = tx[:], ty[:], tz[:]
+                     *, chunk, g_const, gb, b):
     rows = [sm, sx, sy, sz]
+    pid = pl.program_id(0)
 
-    def body(c, carry, tiles, valid):
-        phi_a, gx_a, gy_a, gz_a, na_a = carry
-        cm_, cx, cy, cz = tiles
-        use = valid & (cm_ > 0.0)
-        m_eff = jnp.where(use, cm_, 0.0)
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
-        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
-        return (phi_a + jnp.sum(-m_eff * inv_r, axis=1, keepdims=True),
-                gx_a + jnp.sum(dxx * mag, axis=1, keepdims=True),
-                gy_a + jnp.sum(dxy * mag, axis=1, keepdims=True),
-                gz_a + jnp.sum(dxz * mag, axis=1, keepdims=True),
-                na_a + jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True))
+    def per_group(k, carry):
+        o = pl.multiple_of(k * b, b)
+        sl = pl.ds(o, b)
+        nv = nv_ref[pid * gb + k]
+        txv, tyv, tzv = tx[sl, :], ty[sl, :], tz[sl, :]
 
-    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
-    zi = jnp.zeros((txv.shape[0], 1), jnp.int32)
-    phi_a, gx_a, gy_a, gz_a, na_a = _sweep(nv, rows, chunk, body,
-                                           (z, z, z, z, zi))
-    phi_ref[:] = g_const * phi_a
-    gx_ref[:] = g_const * gx_a
-    gy_ref[:] = g_const * gy_a
-    gz_ref[:] = g_const * gz_a
-    na_ref[:] = na_a
+        def body(c, carry, tiles, valid):
+            phi_a, gx_a, gy_a, gz_a, na_a = carry
+            cm_, cx, cy, cz = tiles
+            use = valid & (cm_ > 0.0)
+            m_eff = jnp.where(use, cm_, 0.0)
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
+            return (phi_a + jnp.sum(-m_eff * inv_r, axis=1, keepdims=True),
+                    gx_a + jnp.sum(dxx * mag, axis=1, keepdims=True),
+                    gy_a + jnp.sum(dxy * mag, axis=1, keepdims=True),
+                    gz_a + jnp.sum(dxz * mag, axis=1, keepdims=True),
+                    na_a + jnp.sum(jnp.where(use, 1, 0), axis=1,
+                                   keepdims=True))
+
+        z = jnp.zeros((b, 1), jnp.float32)
+        zi = jnp.zeros((b, 1), jnp.int32)
+        phi_a, gx_a, gy_a, gz_a, na_a = _sweep_k(nv, k, rows, chunk, body,
+                                                 (z, z, z, z, zi))
+        phi_ref[sl, :] = g_const * phi_a
+        gx_ref[sl, :] = g_const * gx_a
+        gy_ref[sl, :] = g_const * gy_a
+        gz_ref[sl, :] = g_const * gz_a
+        na_ref[sl, :] = na_a
+        return carry
+
+    jax.lax.fori_loop(0, gb, per_group, 0)
 
 
-def m2p_ring(nv, tgt, src, *, b, chunk, g_const):
+def m2p_ring(nv, tgt, src, *, b, chunk, g_const, gb=1):
     """Windowed sub-block-monopole sweep: each source lane is one sub-block
     (mass, cm) entry. tgt cols: x,y,z. src rows: mass,cmx,cmy,cmz, each
     [G, Wm_pad]. Returns (phi, gx, gy, gz, n_entries) columns."""
-    kern = functools.partial(_m2p_ring_kernel, chunk=chunk, g_const=g_const)
-    return _call(kern, n_tgt=3, n_src=4,
-                 out_dtypes=[jnp.float32] * 4 + [jnp.int32], smem=[nv],
-                 tgt_cols=tgt, src_rows=src, b=b)
+    s = src[0].shape[1]
+    g_total = tgt[0].shape[0] // b
+    ng = -(-g_total // gb)
+    gpad = ng * gb - g_total
+    if gpad:
+        nv = jnp.pad(nv, (0, gpad))
+        tgt = [jnp.pad(x, ((0, gpad * b), (0, 0))) for x in tgt]
+        src = [jnp.pad(r, ((0, gpad), (0, 0))) for r in src]
+    col = pl.BlockSpec((gb * b, 1), lambda g: (g, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((gb, 1, s), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    outs = [jax.ShapeDtypeStruct((ng * gb * b, 1), jnp.float32)] * 4 + \
+           [jax.ShapeDtypeStruct((ng * gb * b, 1), jnp.int32)]
+    kern = functools.partial(_m2p_ring_kernel, chunk=chunk,
+                             g_const=g_const, gb=gb, b=b)
+    res = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=[_SCL] + [col] * 3 + [row] * 4,
+        out_specs=[col] * 5,
+        out_shape=outs,
+        interpret=not _on_tpu(),
+    )(nv, *tgt, *[r[:, None, :] for r in src])
+    if gpad:
+        res = tuple(r[:g_total * b] for r in res)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -419,72 +467,96 @@ def m2p_ring(nv, tgt, src, *, b, chunk, g_const):
 
 def _m2p_kernel(tx, ty, tz, bm, bx, by, bz, acc,
                 phi_ref, gx_ref, gy_ref, gz_ref, na_ref,
-                *, chunk, g_const, bf16=False):
-    txv, tyv, tzv = tx[:], ty[:], tz[:]
-    rows = [bm, bx, by, bz, acc]
-    nbpad = rows[0].shape[-1]
+                *, chunk, g_const, gb, b, bf16=False):
+    nbpad = bm.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def body(c, carry, tiles, valid):
-        phi_a, gx_a, gy_a, gz_a, na_a = carry
-        cm_, cx, cy, cz, cacc = tiles
-        use = (cacc > 0.5) & (cm_ > 0.0)
-        m_eff = jnp.where(use, cm_, 0.0)
-        dxx = txv - cx                  # f32 separations (see _p2p_kernel)
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))   # f32 rsqrt (v5e
-        if bf16:                                        # has no bf16 rsqrt)
-            dxx = dxx.astype(jnp.bfloat16)
-            dxy = dxy.astype(jnp.bfloat16)
-            dxz = dxz.astype(jnp.bfloat16)
-            m_eff = m_eff.astype(jnp.bfloat16)
-            inv_r = inv_r.astype(jnp.bfloat16)
-        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
-        f32 = lambda x: x.astype(jnp.float32) if bf16 else x
-        return (phi_a + jnp.sum(f32(-m_eff * inv_r), axis=1, keepdims=True),
-                gx_a + jnp.sum(f32(dxx * mag), axis=1, keepdims=True),
-                gy_a + jnp.sum(f32(dxy * mag), axis=1, keepdims=True),
-                gz_a + jnp.sum(f32(dxz * mag), axis=1, keepdims=True),
-                na_a + jnp.sum(jnp.where(use, 1, 0), axis=1, keepdims=True))
+    def per_group(k, carry):
+        o = pl.multiple_of(k * b, b)
+        sl = pl.ds(o, b)
+        txv, tyv, tzv = tx[sl, :], ty[sl, :], tz[sl, :]
 
-    z = jnp.zeros((txv.shape[0], 1), jnp.float32)
-    zi = jnp.zeros((txv.shape[0], 1), jnp.int32)
-    phi_a, gx_a, gy_a, gz_a, na_a = _sweep(
-        jnp.asarray(nbpad, jnp.int32), rows, chunk, body, (z, z, z, z, zi))
-    phi_ref[:] = g_const * phi_a
-    gx_ref[:] = g_const * gx_a
-    gy_ref[:] = g_const * gy_a
-    gz_ref[:] = g_const * gz_a
-    na_ref[:] = na_a
+        def step(c, carry):
+            phi_a, gx_a, gy_a, gz_a, na_a = carry
+            off = pl.multiple_of(c * chunk, chunk)
+            cm_ = bm[:, pl.ds(off, chunk)]
+            cx = bx[:, pl.ds(off, chunk)]
+            cy = by[:, pl.ds(off, chunk)]
+            cz = bz[:, pl.ds(off, chunk)]
+            cacc = acc[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            use = (cacc > 0.5) & (cm_ > 0.0)
+            m_eff = jnp.where(use, cm_, 0.0)
+            dxx = txv - cx              # f32 separations (see _p2p_kernel)
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))   # f32 rsqrt
+            if bf16:                            # (v5e has no bf16 rsqrt)
+                dxx = dxx.astype(jnp.bfloat16)
+                dxy = dxy.astype(jnp.bfloat16)
+                dxz = dxz.astype(jnp.bfloat16)
+                m_eff = m_eff.astype(jnp.bfloat16)
+                inv_r = inv_r.astype(jnp.bfloat16)
+            mag = m_eff * inv_r * inv_r * inv_r  # unsoftened monopole
+            f32 = lambda x: x.astype(jnp.float32) if bf16 else x
+            return (phi_a + jnp.sum(f32(-m_eff * inv_r), axis=1,
+                                    keepdims=True),
+                    gx_a + jnp.sum(f32(dxx * mag), axis=1, keepdims=True),
+                    gy_a + jnp.sum(f32(dxy * mag), axis=1, keepdims=True),
+                    gz_a + jnp.sum(f32(dxz * mag), axis=1, keepdims=True),
+                    na_a + jnp.sum(jnp.where(use, 1, 0), axis=1,
+                                   keepdims=True))
+
+        z = jnp.zeros((b, 1), jnp.float32)
+        zi = jnp.zeros((b, 1), jnp.int32)
+        phi_a, gx_a, gy_a, gz_a, na_a = jax.lax.fori_loop(
+            0, nbpad // chunk, step, (z, z, z, z, zi))
+        phi_ref[sl, :] = g_const * phi_a
+        gx_ref[sl, :] = g_const * gx_a
+        gy_ref[sl, :] = g_const * gy_a
+        gz_ref[sl, :] = g_const * gz_a
+        na_ref[sl, :] = na_a
+        return carry
+
+    jax.lax.fori_loop(0, gb, per_group, 0)
 
 
-def m2p(tgt, summaries, accept, *, b, chunk, g_const, bf16=False):
+def m2p(tgt, summaries, accept, *, b, chunk, g_const, bf16=False, gb=1):
     """Far-field sweep over ALL source blocks, masked by the frozen per-
     (group, block) MAC acceptance (``GravityFieldSystem.cs:428-442`` analog,
     at source-block granularity — finer, hence strictly more accurate, than
     the reference's BVH-node monopoles).
 
     tgt cols: x,y,z ([G*B,1]). summaries: (mass, cmx, cmy, cmz) each
-    [1, NBpad] (broadcast to every group). accept: [G, NBpad] f32.
+    [1, NBpad] (broadcast to every group — DMA'd once, the index_map is
+    grid-constant). accept: [G, NBpad] f32.
     Returns (phi, gx, gy, gz, n_approx) columns.
     """
-    g = tgt[0].shape[0] // b
+    g_total = tgt[0].shape[0] // b
     nbpad = summaries[0].shape[1]
-    col = pl.BlockSpec((b, 1), lambda g_: (g_, 0), memory_space=pltpu.VMEM)
+    ng = -(-g_total // gb)
+    gpad = ng * gb - g_total
+    if gpad:
+        tgt = [jnp.pad(x, ((0, gpad * b), (0, 0))) for x in tgt]
+        accept = jnp.pad(accept, ((0, gpad), (0, 0)))
+    col = pl.BlockSpec((gb * b, 1), lambda g_: (g_, 0),
+                       memory_space=pltpu.VMEM)
     srow = pl.BlockSpec((1, nbpad), lambda g_: (0, 0),
                         memory_space=pltpu.VMEM)
-    arow = pl.BlockSpec((1, 1, nbpad), lambda g_: (g_, 0, 0),
+    arow = pl.BlockSpec((gb, 1, nbpad), lambda g_: (g_, 0, 0),
                         memory_space=pltpu.VMEM)
-    outs = [jax.ShapeDtypeStruct((g * b, 1), jnp.float32)] * 4 + \
-           [jax.ShapeDtypeStruct((g * b, 1), jnp.int32)]
+    outs = [jax.ShapeDtypeStruct((ng * gb * b, 1), jnp.float32)] * 4 + \
+           [jax.ShapeDtypeStruct((ng * gb * b, 1), jnp.int32)]
     kern = functools.partial(_m2p_kernel, chunk=chunk, g_const=g_const,
-                             bf16=bf16)
-    return pl.pallas_call(
+                             bf16=bf16, gb=gb, b=b)
+    res = pl.pallas_call(
         kern,
-        grid=(g,),
+        grid=(ng,),
         in_specs=[col] * 3 + [srow] * 4 + [arow],
         out_specs=[col] * 5,
         out_shape=outs,
         interpret=not _on_tpu(),
     )(*tgt, *summaries, accept[:, None, :])
+    if gpad:
+        res = tuple(r[:g_total * b] for r in res)
+    return res

@@ -45,19 +45,33 @@ _INV_PI = 1.0 / 3.14159265358979323846
 
 
 def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
-          n_acc):
+          n_acc, gb=1):
     """Assemble a pallas_call for the windowed-pair pattern (1-D grid over
-    target groups) with `n_acc` [B, CHUNK] f32 VMEM accumulators."""
+    target groups) with `n_acc` [B, CHUNK] f32 VMEM accumulators.
+
+    `gb` batches that many groups into one grid step (an in-kernel
+    fori_loop): per-grid-step fixed costs (DMA issue + semaphores,
+    measured ~2.5us against <1us of pair math per 64-target group at the
+    settled 100k point) amortize gb-fold and the window DMAs get gb x
+    larger. The kernel receives [gb*B, 1] target cols / [gb, 1, S] rows
+    and must loop k in [0, gb) itself (see _groups helper)."""
     s = src_rows[0].shape[1]
-    col = pl.BlockSpec((b, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, 1, s), lambda g: (g, 0, 0),
-                       memory_space=pltpu.VMEM)
     g_total = tgt_cols[0].shape[0] // b
-    outs = [jax.ShapeDtypeStruct((g_total * b, 1), dt) for dt in out_dtypes]
+    ng = -(-g_total // gb)
+    gpad = ng * gb - g_total
+    if gpad:
+        smem = [jnp.pad(v, (0, gpad)) for v in smem]
+        tgt_cols = [jnp.pad(x, ((0, gpad * b), (0, 0))) for x in tgt_cols]
+        src_rows = [jnp.pad(r, ((0, gpad), (0, 0))) for r in src_rows]
+    col = pl.BlockSpec((gb * b, 1), lambda g: (g, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((gb, 1, s), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    outs = [jax.ShapeDtypeStruct((ng * gb * b, 1), dt) for dt in out_dtypes]
     rows3 = [r[:, None, :] for r in src_rows]
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
-        grid=(g_total,),
+        grid=(ng,),
         in_specs=[_SCL] * len(smem) + [col] * len(tgt_cols)
         + [row] * len(src_rows),
         out_specs=[col] * len(out_dtypes),
@@ -66,18 +80,39 @@ def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
                         for _ in range(n_acc)],
         interpret=not _on_tpu(),
     )(*smem, *tgt_cols, *rows3)
+    if gpad:
+        res = tuple(r[:g_total * b] for r in res)
+    return res
 
 
-def _sweep(nv, rows, chunk, body):
+def _groups(nv_ref, gb, b, per_group):
+    """Loop the per-group work over the gb groups of this grid step.
+
+    per_group(k, o, nv): k = group index within the batch, o = its row
+    offset into the [gb*B, 1] column refs (pl.ds(o, b) slices it out),
+    nv = its valid-slot count. Padded tail groups carry nv=0: their
+    sweeps run zero chunks and their outputs are zeroed reductions."""
+    pid = pl.program_id(0)
+
+    def step(k, carry):
+        o = pl.multiple_of(k * b, b)
+        per_group(k, o, nv_ref[pid * gb + k])
+        return carry
+
+    jax.lax.fori_loop(0, gb, step, 0)
+
+
+def _sweep(nv, k, rows, chunk, body):
     """fori_loop over [1, CHUNK] tiles of VMEM-resident row refs; `body`
-    mutates scratch accumulators (no loop carry). Trip count is
+    mutates scratch accumulators (no loop carry). `k` picks the batch
+    group's row (leading dim of the [gb, 1, S] refs). Trip count is
     ceil(nv/chunk) — chunks beyond the group's real window never run."""
     s = rows[0].shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def slice_ref(r, off):
         if len(r.shape) == 3:
-            return r[:, 0, pl.ds(off, chunk)]
+            return r[pl.ds(k, 1), 0, pl.ds(off, chunk)]
         return r[:, pl.ds(off, chunk)]
 
     def step(c, carry):
@@ -90,6 +125,21 @@ def _sweep(nv, rows, chunk, body):
     jax.lax.fori_loop(0, trips, step, 0)
 
 
+def _sweep1(nv, k, rows, chunk, body):
+    """Single-trip sweep: the whole window IS one chunk (S == CHUNK).
+
+    `body` returns per-pair contribution tiles; the caller reduces them
+    straight into the outputs. Skips the fori_loop, the [B, CHUNK]
+    scratch zero-init and the read-modify-write accumulation — those
+    fixed costs measure ~60% of kernel time when there is only one chunk
+    of real work (pass1 at the settled 100k point: 2.55us/group of which
+    ~1us is pair math)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    tiles = [r[pl.ds(k, 1), 0, :] if len(r.shape) == 3 else r[:]
+             for r in rows]
+    return body(tiles, iota < nv)
+
+
 def _rsum(acc):
     return jnp.sum(acc[:], axis=1, keepdims=True)
 
@@ -99,103 +149,146 @@ def _rsum(acc):
 # ---------------------------------------------------------------------------
 
 def _pass1_gradh_kernel(nv_ref, tx, ty, tz, tih, sx, sy, sz, sm,
-                        rho_ref, nn_ref, xi_ref, a_rho, a_xi, a_nn,
-                        *, chunk):
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv, tihv = tx[:], ty[:], tz[:], tih[:]
-    zero = jnp.zeros(a_rho.shape, jnp.float32)
-    a_rho[:] = zero
-    a_xi[:] = zero
-    a_nn[:] = zero
+                        rho_ref, nn_ref, xi_ref, *acc, chunk, gb, b,
+                        single):
+    rows = [sx, sy, sz, sm]
 
-    def body(tiles, valid):
-        cx, cy, cz, cm = tiles
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        m_eff = jnp.where(valid, cm, 0.0)
-        q = jnp.sqrt(r2) * tihv
-        q2 = q * q
-        q3 = q2 * q
-        inner = 1.0 - 1.5 * q2 + 0.75 * q3
-        t = 2.0 - q
-        tsq = t * t
-        outer = 0.25 * tsq * t
-        wpoly = jnp.where(q < 1.0, inner, jnp.where(q < 2.0, outer, 0.0))
-        # dW/dh = -(1/pi h^4)(3 Wpoly + q dWpoly/dq); reuses inner/tsq
-        inner_dh = 3.0 * inner - 3.0 * q2 + 2.25 * q3
-        outer_dh = 0.75 * tsq * (t - q)
-        dhpoly = jnp.where(q < 1.0, inner_dh,
-                           jnp.where(q < 2.0, outer_dh, 0.0))
-        a_rho[:] += m_eff * wpoly
-        a_xi[:] += m_eff * dhpoly
-        a_nn[:] += jnp.where((q < 2.0) & (m_eff > 0.0), 1.0, 0.0)
+    def per_group(k, o, nv):
+        sl = pl.ds(o, b)
+        txv, tyv, tzv, tihv = tx[sl, :], ty[sl, :], tz[sl, :], tih[sl, :]
 
-    _sweep(nv, [sx, sy, sz, sm], chunk, body)
-    ci3 = _INV_PI * (tihv * tihv * tihv)
-    rho_ref[:] = ci3 * _rsum(a_rho)
-    xi_ref[:] = -(ci3 * tihv) * _rsum(a_xi)
-    nn_ref[:] = _rsum(a_nn).astype(jnp.int32)
+        def contrib(tiles, valid):
+            cx, cy, cz, cm = tiles
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            m_eff = jnp.where(valid, cm, 0.0)
+            q = jnp.sqrt(r2) * tihv
+            q2 = q * q
+            q3 = q2 * q
+            inner = 1.0 - 1.5 * q2 + 0.75 * q3
+            t = 2.0 - q
+            tsq = t * t
+            outer = 0.25 * tsq * t
+            wpoly = jnp.where(q < 1.0, inner,
+                              jnp.where(q < 2.0, outer, 0.0))
+            # dW/dh = -(1/pi h^4)(3 Wpoly + q dWpoly/dq); reuses inner/tsq
+            inner_dh = 3.0 * inner - 3.0 * q2 + 2.25 * q3
+            outer_dh = 0.75 * tsq * (t - q)
+            dhpoly = jnp.where(q < 1.0, inner_dh,
+                               jnp.where(q < 2.0, outer_dh, 0.0))
+            return (m_eff * wpoly, m_eff * dhpoly,
+                    jnp.where((q < 2.0) & (m_eff > 0.0), 1.0, 0.0))
+
+        if single:
+            c_rho, c_xi, c_nn = _sweep1(nv, k, rows, chunk, contrib)
+            s_rho, s_xi, s_nn = (jnp.sum(c, axis=1, keepdims=True)
+                                 for c in (c_rho, c_xi, c_nn))
+        else:
+            a_rho, a_xi, a_nn = acc
+            zero = jnp.zeros(a_rho.shape, jnp.float32)
+            a_rho[:] = zero
+            a_xi[:] = zero
+            a_nn[:] = zero
+
+            def body(tiles, valid):
+                c_rho, c_xi, c_nn = contrib(tiles, valid)
+                a_rho[:] += c_rho
+                a_xi[:] += c_xi
+                a_nn[:] += c_nn
+
+            _sweep(nv, k, rows, chunk, body)
+            s_rho, s_xi, s_nn = _rsum(a_rho), _rsum(a_xi), _rsum(a_nn)
+        ci3 = _INV_PI * (tihv * tihv * tihv)
+        rho_ref[sl, :] = ci3 * s_rho
+        xi_ref[sl, :] = -(ci3 * tihv) * s_xi
+        nn_ref[sl, :] = s_nn.astype(jnp.int32)
+
+    _groups(nv_ref, gb, b, per_group)
 
 
-def pass1_gradh(nv, tgt, src, *, b, chunk):
+def pass1_gradh(nv, tgt, src, *, b, chunk, gb=1):
     """Grad-h density sweep: tgt = (x,y,z,ih) cols, src = (x,y,z,m) rows.
     Returns (rho, nn, xi) [G*B,1] columns; nn INCLUDES the self pair."""
-    kern = functools.partial(_pass1_gradh_kernel, chunk=chunk)
+    single = src[0].shape[1] == chunk
+    kern = functools.partial(_pass1_gradh_kernel, chunk=chunk, gb=gb, b=b,
+                             single=single)
     return _call(kern, out_dtypes=[jnp.float32, jnp.int32, jnp.float32],
                  smem=[nv], tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
-                 n_acc=3)
+                 n_acc=0 if single else 3, gb=gb)
 
 
 def _pass1_sym_kernel(nv_ref, tx, ty, tz, tih, sx, sy, sz, sih, sm,
-                      rho_ref, nn_ref, a_rho, a_rhoj, a_nn, *, chunk):
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv, tihv = tx[:], ty[:], tz[:], tih[:]
-    zero = jnp.zeros(a_rho.shape, jnp.float32)
-    a_rho[:] = zero
-    a_rhoj[:] = zero
-    a_nn[:] = zero
+                      rho_ref, nn_ref, *acc, chunk, gb, b, single):
+    rows = [sx, sy, sz, sih, sm]
 
-    def body(tiles, valid):
-        cx, cy, cz, cih, cm = tiles
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        m_eff = jnp.where(valid, cm, 0.0)
-        r = jnp.sqrt(r2)
-        q = r * tihv
-        q2 = q * q
-        inner = 1.0 - 1.5 * q2 + 0.75 * q2 * q
-        t = 2.0 - q
-        outer = 0.25 * t * t * t
-        wpoly = jnp.where(q < 1.0, inner, jnp.where(q < 2.0, outer, 0.0))
-        qj = r * cih
-        qj2 = qj * qj
-        innerj = 1.0 - 1.5 * qj2 + 0.75 * qj2 * qj
-        tj = 2.0 - qj
-        outerj = 0.25 * tj * tj * tj
-        wpolyj = jnp.where(qj < 1.0, innerj,
-                           jnp.where(qj < 2.0, outerj, 0.0))
-        cj3 = cih * cih * cih       # source prefactor rides per pair
-        a_rho[:] += m_eff * wpoly
-        a_rhoj[:] += m_eff * wpolyj * cj3
-        a_nn[:] += jnp.where((q < 2.0) & (m_eff > 0.0), 1.0, 0.0)
+    def per_group(k, o, nv):
+        sl = pl.ds(o, b)
+        txv, tyv, tzv, tihv = tx[sl, :], ty[sl, :], tz[sl, :], tih[sl, :]
 
-    _sweep(nv, [sx, sy, sz, sih, sm], chunk, body)
-    ci3 = tihv * tihv * tihv
-    rho_ref[:] = (0.5 * _INV_PI) * (ci3 * _rsum(a_rho) + _rsum(a_rhoj))
-    nn_ref[:] = _rsum(a_nn).astype(jnp.int32)
+        def contrib(tiles, valid):
+            cx, cy, cz, cih, cm = tiles
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            m_eff = jnp.where(valid, cm, 0.0)
+            r = jnp.sqrt(r2)
+            q = r * tihv
+            q2 = q * q
+            inner = 1.0 - 1.5 * q2 + 0.75 * q2 * q
+            t = 2.0 - q
+            outer = 0.25 * t * t * t
+            wpoly = jnp.where(q < 1.0, inner,
+                              jnp.where(q < 2.0, outer, 0.0))
+            qj = r * cih
+            qj2 = qj * qj
+            innerj = 1.0 - 1.5 * qj2 + 0.75 * qj2 * qj
+            tj = 2.0 - qj
+            outerj = 0.25 * tj * tj * tj
+            wpolyj = jnp.where(qj < 1.0, innerj,
+                               jnp.where(qj < 2.0, outerj, 0.0))
+            cj3 = cih * cih * cih       # source prefactor rides per pair
+            return (m_eff * wpoly, m_eff * wpolyj * cj3,
+                    jnp.where((q < 2.0) & (m_eff > 0.0), 1.0, 0.0))
+
+        if single:
+            c_rho, c_rhoj, c_nn = _sweep1(nv, k, rows, chunk, contrib)
+            s_rho, s_rhoj, s_nn = (jnp.sum(c, axis=1, keepdims=True)
+                                   for c in (c_rho, c_rhoj, c_nn))
+        else:
+            a_rho, a_rhoj, a_nn = acc
+            zero = jnp.zeros(a_rho.shape, jnp.float32)
+            a_rho[:] = zero
+            a_rhoj[:] = zero
+            a_nn[:] = zero
+
+            def body(tiles, valid):
+                c_rho, c_rhoj, c_nn = contrib(tiles, valid)
+                a_rho[:] += c_rho
+                a_rhoj[:] += c_rhoj
+                a_nn[:] += c_nn
+
+            _sweep(nv, k, rows, chunk, body)
+            s_rho, s_rhoj, s_nn = (_rsum(a_rho), _rsum(a_rhoj),
+                                   _rsum(a_nn))
+        ci3 = tihv * tihv * tihv
+        rho_ref[sl, :] = (0.5 * _INV_PI) * (ci3 * s_rho + s_rhoj)
+        nn_ref[sl, :] = s_nn.astype(jnp.int32)
+
+    _groups(nv_ref, gb, b, per_group)
 
 
-def pass1_sym(nv, tgt, src, *, b, chunk):
+def pass1_sym(nv, tgt, src, *, b, chunk, gb=1):
     """Symmetric-density sweep: tgt = (x,y,z,ih), src = (x,y,z,ih,m).
     rho_i = sum m_j 0.5(W(h_i)+W(h_j)); nn INCLUDES the self pair."""
-    kern = functools.partial(_pass1_sym_kernel, chunk=chunk)
+    single = src[0].shape[1] == chunk
+    kern = functools.partial(_pass1_sym_kernel, chunk=chunk, gb=gb, b=b,
+                             single=single)
     return _call(kern, out_dtypes=[jnp.float32, jnp.int32],
                  smem=[nv], tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
-                 n_acc=3)
+                 n_acc=0 if single else 3, gb=gb)
 
 
 # ---------------------------------------------------------------------------
@@ -203,41 +296,47 @@ def pass1_sym(nv, tgt, src, *, b, chunk):
 # ---------------------------------------------------------------------------
 
 def _filter_kernel(nv_ref, tx, ty, tz, tc, tsk, sx, sy, sz, sc, ssk, sm,
-                   keep_ref, *, chunk):
+                   keep_ref, *, chunk, gb, b):
     """keep[j] = any target i in the group truly interacts with candidate j.
 
     tc/sc carry kappa*(1+h_margin)*h pre-scaled by the caller, so the pair
     cutoff is max(tc_i, sc_j) + tsk_i + ssk_j (per-particle skins)."""
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv, tcv, tskv = tx[:], ty[:], tz[:], tc[:], tsk[:]
-    keep_ref[:] = jnp.zeros(keep_ref.shape, jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     s = sx.shape[-1]
 
-    def step(c, carry):
-        off = pl.multiple_of(c * chunk, chunk)
-        cx = sx[:, 0, pl.ds(off, chunk)]
-        cy = sy[:, 0, pl.ds(off, chunk)]
-        cz = sz[:, 0, pl.ds(off, chunk)]
-        cc = sc[:, 0, pl.ds(off, chunk)]
-        csk = ssk[:, 0, pl.ds(off, chunk)]
-        cm = sm[:, 0, pl.ds(off, chunk)]
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        cut = jnp.maximum(tcv, cc) + tskv + csk
-        valid = ((iota + off) < nv) & (cm > 0.0)
-        pred = (r2 < cut * cut) & valid
-        keep_ref[0, :, pl.ds(off, chunk)] = jnp.max(
-            jnp.where(pred, 1.0, 0.0), axis=0, keepdims=True)
-        return carry
+    def per_group(k, o, nv):
+        sl = pl.ds(o, b)
+        txv, tyv, tzv = tx[sl, :], ty[sl, :], tz[sl, :]
+        tcv, tskv = tc[sl, :], tsk[sl, :]
+        keep_ref[pl.ds(k, 1)] = jnp.zeros((1,) + keep_ref.shape[1:],
+                                          jnp.float32)
 
-    trips = jnp.minimum(pl.cdiv(nv, chunk), s // chunk)
-    jax.lax.fori_loop(0, trips, step, 0)
+        def step(c, carry):
+            off = pl.multiple_of(c * chunk, chunk)
+            cx = sx[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            cy = sy[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            cz = sz[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            cc = sc[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            csk = ssk[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            cm = sm[pl.ds(k, 1), 0, pl.ds(off, chunk)]
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            cut = jnp.maximum(tcv, cc) + tskv + csk
+            valid = ((iota + off) < nv) & (cm > 0.0)
+            pred = (r2 < cut * cut) & valid
+            keep_ref[pl.ds(k, 1), 0, pl.ds(off, chunk)] = jnp.max(
+                jnp.where(pred, 1.0, 0.0), axis=0, keepdims=True)
+            return carry
+
+        trips = jnp.minimum(pl.cdiv(nv, chunk), s // chunk)
+        jax.lax.fori_loop(0, trips, step, 0)
+
+    _groups(nv_ref, gb, b, per_group)
 
 
-def filter_sph(nv, tgt, src, *, b, chunk):
+def filter_sph(nv, tgt, src, *, b, chunk, gb=1):
     """Per-candidate true-interaction mask over the group's window.
 
     tgt cols ([G*B,1]): x, y, z, kappa_eff*h, skin. src rows ([G,S]):
@@ -245,20 +344,28 @@ def filter_sph(nv, tgt, src, *, b, chunk):
     interacts). One light sweep (~10 flops/slot) at REBUILD time buys the
     per-step heavy sweeps a ~5x smaller exact candidate window."""
     s = src[0].shape[1]
-    col = pl.BlockSpec((b, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, 1, s), lambda g: (g, 0, 0),
-                       memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, 1, s), lambda g: (g, 0, 0),
-                       memory_space=pltpu.VMEM)
     g_total = tgt[0].shape[0] // b
-    return pl.pallas_call(
-        functools.partial(_filter_kernel, chunk=chunk),
-        grid=(g_total,),
+    ng = -(-g_total // gb)
+    gpad = ng * gb - g_total
+    if gpad:
+        nv = jnp.pad(nv, (0, gpad))
+        tgt = [jnp.pad(x, ((0, gpad * b), (0, 0))) for x in tgt]
+        src = [jnp.pad(r, ((0, gpad), (0, 0))) for r in src]
+    col = pl.BlockSpec((gb * b, 1), lambda g: (g, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((gb, 1, s), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((gb, 1, s), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        functools.partial(_filter_kernel, chunk=chunk, gb=gb, b=b),
+        grid=(ng,),
         in_specs=[_SCL] + [col] * len(tgt) + [row] * len(src),
         out_specs=out,
-        out_shape=jax.ShapeDtypeStruct((g_total, 1, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng * gb, 1, s), jnp.float32),
         interpret=not _on_tpu(),
     )(nv, *tgt, *[r[:, None, :] for r in src])[:, 0, :]
+    return res[:g_total] if gpad else res
 
 
 # ---------------------------------------------------------------------------
@@ -286,7 +393,7 @@ def _gw_from(q, inv_h, inv_h4, inv_r, sign_bug):
 
 
 def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
-                  av_beta):
+                  av_beta, gb, b):
     it = iter(args)
     tx, ty, tz, tih = (next(it) for _ in range(4))
     tc = next(it) if mode != "reference_asymmetric" else None
@@ -297,88 +404,92 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
     if av:
         avx_ref, avy_ref, avz_ref = (next(it) for _ in range(3))
-        a_gx, a_gy, a_gz, a_vx, a_vy, a_vz = (next(it) for _ in range(6))
-    else:
-        a_gx, a_gy, a_gz = (next(it) for _ in range(3))
-
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv, tihv = tx[:], ty[:], tz[:], tih[:]
-    tcv = tc[:] if tc is not None else None
-    tih4 = tihv * tihv
-    tih4 = tih4 * tih4
-    zero = jnp.zeros(a_gx.shape, jnp.float32)
-    a_gx[:] = zero
-    a_gy[:] = zero
-    a_gz[:] = zero
-    if av:
-        a_vx[:] = zero
-        a_vy[:] = zero
-        a_vz[:] = zero
-        tvxv, tvyv, tvzv, thv, tcsv, trhov = (tvx[:], tvy[:], tvz[:],
-                                              th[:], tcs[:], trho[:])
+    acc = list(it)      # [] when single-trip; 3 or 6 scratch otherwise
     rows = [sx, sy, sz, sih, sm, scc] + s_av
 
-    def body(tiles, valid):
-        cx, cy, cz, cih, cm, ccc = tiles[:6]
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        m_eff = jnp.where(valid, cm, 0.0)
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
-        r = r2 * inv_r
-        q = r * tihv
-        qj = r * cih
-        cih4 = cih * cih
-        cih4 = cih4 * cih4
-        gw_i = _gw_from(q, tihv, tih4, inv_r, sign_bug)
-        gw_j = _gw_from(qj, cih, cih4, inv_r, sign_bug)
-        if mode == "grad_h":
-            coef = m_eff * (tcv * gw_i + ccc * gw_j)
-        elif mode == "reference_asymmetric":
-            coef = m_eff * ccc * (0.5 * (gw_i + gw_j))
-        else:
-            coef = m_eff * (tcv + ccc) * (0.5 * (gw_i + gw_j))
-        a_gx[:] += dxx * coef
-        a_gy[:] += dxy * coef
-        a_gz[:] += dxz * coef
+    def per_group(k, o, nv):
+        sl = pl.ds(o, b)
+        txv, tyv, tzv, tihv = tx[sl, :], ty[sl, :], tz[sl, :], tih[sl, :]
+        tcv = tc[sl, :] if tc is not None else None
+        tih4 = tihv * tihv
+        tih4 = tih4 * tih4
         if av:
-            cvx, cvy, cvz, ch, ccs, crho = tiles[6:12]
-            dvx = tvxv - cvx
-            dvy = tvyv - cvy
-            dvz = tvzv - cvz
-            vdotr = dvx * dxx + dvy * dxy + dvz * dxz
-            hbar = 0.5 * (thv + ch)
-            mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
-            cbar = 0.5 * (tcsv + ccs)
-            rhobar = 0.5 * (trhov + crho)
-            pi_ij = jnp.where(vdotr < 0.0,
-                              (-av_alpha * cbar * mu + av_beta * mu * mu)
-                              / rhobar, 0.0)
-            if sign_bug:
-                # AV always uses the CORRECT derivative (parity sign bug
-                # would inject energy); recompute without the bug
-                gs_av = 0.5 * (_gw_from(q, tihv, tih4, inv_r, False)
-                               + _gw_from(qj, cih, cih4, inv_r, False))
-            else:
-                gs_av = 0.5 * (gw_i + gw_j)
-            cav = m_eff * pi_ij * gs_av
-            a_vx[:] += dxx * cav
-            a_vy[:] += dxy * cav
-            a_vz[:] += dxz * cav
+            tvxv, tvyv, tvzv = tvx[sl, :], tvy[sl, :], tvz[sl, :]
+            thv, tcsv, trhov = th[sl, :], tcs[sl, :], trho[sl, :]
 
-    _sweep(nv, rows, chunk, body)
-    gpx_ref[:] = _rsum(a_gx)
-    gpy_ref[:] = _rsum(a_gy)
-    gpz_ref[:] = _rsum(a_gz)
-    if av:
-        avx_ref[:] = _rsum(a_vx)
-        avy_ref[:] = _rsum(a_vy)
-        avz_ref[:] = _rsum(a_vz)
+        def contrib(tiles, valid):
+            cx, cy, cz, cih, cm, ccc = tiles[:6]
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            m_eff = jnp.where(valid, cm, 0.0)
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            r = r2 * inv_r
+            q = r * tihv
+            qj = r * cih
+            cih4 = cih * cih
+            cih4 = cih4 * cih4
+            gw_i = _gw_from(q, tihv, tih4, inv_r, sign_bug)
+            gw_j = _gw_from(qj, cih, cih4, inv_r, sign_bug)
+            if mode == "grad_h":
+                coef = m_eff * (tcv * gw_i + ccc * gw_j)
+            elif mode == "reference_asymmetric":
+                coef = m_eff * ccc * (0.5 * (gw_i + gw_j))
+            else:
+                coef = m_eff * (tcv + ccc) * (0.5 * (gw_i + gw_j))
+            out = [dxx * coef, dxy * coef, dxz * coef]
+            if av:
+                cvx, cvy, cvz, ch, ccs, crho = tiles[6:12]
+                dvx = tvxv - cvx
+                dvy = tvyv - cvy
+                dvz = tvzv - cvz
+                vdotr = dvx * dxx + dvy * dxy + dvz * dxz
+                hbar = 0.5 * (thv + ch)
+                mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
+                cbar = 0.5 * (tcsv + ccs)
+                rhobar = 0.5 * (trhov + crho)
+                pi_ij = jnp.where(vdotr < 0.0,
+                                  (-av_alpha * cbar * mu
+                                   + av_beta * mu * mu) / rhobar, 0.0)
+                if sign_bug:
+                    # AV always uses the CORRECT derivative (parity sign
+                    # bug would inject energy); recompute without the bug
+                    gs_av = 0.5 * (_gw_from(q, tihv, tih4, inv_r, False)
+                                   + _gw_from(qj, cih, cih4, inv_r, False))
+                else:
+                    gs_av = 0.5 * (gw_i + gw_j)
+                cav = m_eff * pi_ij * gs_av
+                out += [dxx * cav, dxy * cav, dxz * cav]
+            return out
+
+        if acc:
+            zero = jnp.zeros(acc[0].shape, jnp.float32)
+            for a in acc:
+                a[:] = zero
+
+            def body(tiles, valid):
+                for a, c in zip(acc, contrib(tiles, valid)):
+                    a[:] += c
+
+            _sweep(nv, k, rows, chunk, body)
+            sums = [_rsum(a) for a in acc]
+        else:
+            sums = [jnp.sum(c, axis=1, keepdims=True)
+                    for c in _sweep1(nv, k, rows, chunk, contrib)]
+        gpx_ref[sl, :] = sums[0]
+        gpy_ref[sl, :] = sums[1]
+        gpz_ref[sl, :] = sums[2]
+        if av:
+            avx_ref[sl, :] = sums[3]
+            avy_ref[sl, :] = sums[4]
+            avz_ref[sl, :] = sums[5]
+
+    _groups(nv_ref, gb, b, per_group)
 
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
-          av_beta=0.0):
+          av_beta=0.0, gb=1):
     """Pressure-gradient sweep with precomputed per-particle coefficients.
 
     tgt cols: x,y,z,ih, then tc (absent for reference_asymmetric), then AV
@@ -390,20 +501,21 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
     Returns (gpx,gpy,gpz) — the caller applies the target-side rho scale —
     plus (avx,avy,avz) when av=True (caller scales by trho as well).
     """
+    single = src[0].shape[1] == chunk
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
                              sign_bug=sign_bug, av_alpha=av_alpha,
-                             av_beta=av_beta)
+                             av_beta=av_beta, gb=gb, b=b)
     n_out = 6 if av else 3
     return _call(kern, out_dtypes=[jnp.float32] * n_out, smem=[nv],
                  tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
-                 n_acc=n_out)
+                 n_acc=0 if single else n_out, gb=gb)
 
 
 # ---------------------------------------------------------------------------
 # gravity P2P over MAC-rejected sub-block windows (Dyer-Ip softened)
 # ---------------------------------------------------------------------------
 
-def _p2p_kernel(nv_ref, *args, chunk, receiver_soft, g_const, bf16):
+def _p2p_kernel(nv_ref, *args, chunk, receiver_soft, g_const, bf16, gb, b):
     if receiver_soft:
         (tx, ty, tz, tih, sx, sy, sz, sm,
          phi_ref, gx_ref, gy_ref, gz_ref, nd_ref,
@@ -412,80 +524,85 @@ def _p2p_kernel(nv_ref, *args, chunk, receiver_soft, g_const, bf16):
         (tx, ty, tz, tih, sx, sy, sz, sih, sm,
          phi_ref, gx_ref, gy_ref, gz_ref, nd_ref,
          a_phi, a_gx, a_gy, a_gz, a_nd) = args
-    nv = nv_ref[pl.program_id(0)]
-    txv, tyv, tzv, tihv = tx[:], ty[:], tz[:], tih[:]
-    zero = jnp.zeros(a_phi.shape, jnp.float32)
-    a_phi[:] = zero
-    a_gx[:] = zero
-    a_gy[:] = zero
-    a_gz[:] = zero
-    a_nd[:] = zero
     rows = [sx, sy, sz, sm] if receiver_soft else [sx, sy, sz, sih, sm]
 
-    def body(tiles, valid):
-        if receiver_soft:
-            cx, cy, cz, cm = tiles
-            inv_a = tihv
-        else:
-            cx, cy, cz, cih, cm = tiles
-            inv_a = jnp.minimum(tihv, cih)
-        dxx = txv - cx
-        dxy = tyv - cy
-        dxz = tzv - cz
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        m_eff = jnp.where(valid, cm, 0.0)
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
-        x = (r2 * inv_r) * inv_a
-        near = x < 1.0
-        if bf16:
-            bf = lambda v: v.astype(jnp.bfloat16)
-            dxxb, dxyb, dxzb = bf(dxx), bf(dxy), bf(dxz)
-            xb, mb = bf(x), bf(m_eff)
-            inv_ab = jnp.broadcast_to(bf(inv_a), dxx.shape)
-            inv_rb = bf(inv_r)
-            x2 = xb * xb
-            x3 = x2 * xb
-            inv_a3 = inv_ab * inv_ab * inv_ab
-            inner_mag = (mb * inv_a3) * (8.0 - 9.0 * xb + 2.0 * x3)
-            inner_phi = -(mb * inv_ab) * (2.4 - 4.0 * x2 + 3.0 * x3
-                                          - 0.4 * x2 * x3)
-            outer_mag = mb * inv_rb * inv_rb * inv_rb
-            outer_phi = -mb * inv_rb
-            mag = jnp.where(near, inner_mag, outer_mag)
-            phi = jnp.where(near, inner_phi, outer_phi)
-            f32 = lambda v: v.astype(jnp.float32)
-            a_phi[:] += f32(phi)
-            a_gx[:] += f32(dxxb * mag)
-            a_gy[:] += f32(dxyb * mag)
-            a_gz[:] += f32(dxzb * mag)
-        else:
-            x2 = x * x
-            x3 = x2 * x
-            # inv_a^3: target-constant under receiver softening but pair-
-            # dependent under min(); compute per pair (3 muls) either way
-            inv_a3 = inv_a * inv_a * inv_a
-            inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
-            inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
-                                            - 0.4 * x2 * x3)
-            mr = m_eff * inv_r
-            outer_mag = mr * inv_r * inv_r
-            mag = jnp.where(near, inner_mag, outer_mag)
-            phi = jnp.where(near, inner_phi, -mr)
-            a_phi[:] += phi
-            a_gx[:] += dxx * mag
-            a_gy[:] += dxy * mag
-            a_gz[:] += dxz * mag
-        a_nd[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
+    def per_group(k, o, nv):
+        sl = pl.ds(o, b)
+        txv, tyv, tzv, tihv = tx[sl, :], ty[sl, :], tz[sl, :], tih[sl, :]
+        zero = jnp.zeros(a_phi.shape, jnp.float32)
+        a_phi[:] = zero
+        a_gx[:] = zero
+        a_gy[:] = zero
+        a_gz[:] = zero
+        a_nd[:] = zero
 
-    _sweep(nv, rows, chunk, body)
-    phi_ref[:] = g_const * _rsum(a_phi)
-    gx_ref[:] = g_const * _rsum(a_gx)
-    gy_ref[:] = g_const * _rsum(a_gy)
-    gz_ref[:] = g_const * _rsum(a_gz)
-    nd_ref[:] = _rsum(a_nd).astype(jnp.int32)
+        def body(tiles, valid):
+            if receiver_soft:
+                cx, cy, cz, cm = tiles
+                inv_a = tihv
+            else:
+                cx, cy, cz, cih, cm = tiles
+                inv_a = jnp.minimum(tihv, cih)
+            dxx = txv - cx
+            dxy = tyv - cy
+            dxz = tzv - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            m_eff = jnp.where(valid, cm, 0.0)
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            x = (r2 * inv_r) * inv_a
+            near = x < 1.0
+            if bf16:
+                bf = lambda v: v.astype(jnp.bfloat16)
+                dxxb, dxyb, dxzb = bf(dxx), bf(dxy), bf(dxz)
+                xb, mb = bf(x), bf(m_eff)
+                inv_ab = jnp.broadcast_to(bf(inv_a), dxx.shape)
+                inv_rb = bf(inv_r)
+                x2 = xb * xb
+                x3 = x2 * xb
+                inv_a3 = inv_ab * inv_ab * inv_ab
+                inner_mag = (mb * inv_a3) * (8.0 - 9.0 * xb + 2.0 * x3)
+                inner_phi = -(mb * inv_ab) * (2.4 - 4.0 * x2 + 3.0 * x3
+                                              - 0.4 * x2 * x3)
+                outer_mag = mb * inv_rb * inv_rb * inv_rb
+                outer_phi = -mb * inv_rb
+                mag = jnp.where(near, inner_mag, outer_mag)
+                phi = jnp.where(near, inner_phi, outer_phi)
+                f32 = lambda v: v.astype(jnp.float32)
+                a_phi[:] += f32(phi)
+                a_gx[:] += f32(dxxb * mag)
+                a_gy[:] += f32(dxyb * mag)
+                a_gz[:] += f32(dxzb * mag)
+            else:
+                x2 = x * x
+                x3 = x2 * x
+                # inv_a^3: target-constant under receiver softening but
+                # pair-dependent under min(); per pair (3 muls) either way
+                inv_a3 = inv_a * inv_a * inv_a
+                inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+                inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
+                                                - 0.4 * x2 * x3)
+                mr = m_eff * inv_r
+                outer_mag = mr * inv_r * inv_r
+                mag = jnp.where(near, inner_mag, outer_mag)
+                phi = jnp.where(near, inner_phi, -mr)
+                a_phi[:] += phi
+                a_gx[:] += dxx * mag
+                a_gy[:] += dxy * mag
+                a_gz[:] += dxz * mag
+            a_nd[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
+
+        _sweep(nv, k, rows, chunk, body)
+        phi_ref[sl, :] = g_const * _rsum(a_phi)
+        gx_ref[sl, :] = g_const * _rsum(a_gx)
+        gy_ref[sl, :] = g_const * _rsum(a_gy)
+        gz_ref[sl, :] = g_const * _rsum(a_gz)
+        nd_ref[sl, :] = _rsum(a_nd).astype(jnp.int32)
+
+    _groups(nv_ref, gb, b, per_group)
 
 
-def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False):
+def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
+        gb=1):
     """Near-field gravity sweep (``GravityFieldSystem.cs:332-356`` analog).
 
     tgt cols: x,y,z,ih. src rows: x,y,z,m under receiver softening,
@@ -495,7 +612,7 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False):
     """
     kern = functools.partial(_p2p_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const,
-                             bf16=bf16)
+                             bf16=bf16, gb=gb, b=b)
     return _call(kern, out_dtypes=[jnp.float32] * 4 + [jnp.int32],
                  smem=[nv], tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
-                 n_acc=5)
+                 n_acc=5, gb=gb)

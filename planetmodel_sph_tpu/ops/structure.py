@@ -140,7 +140,8 @@ def _refine_exact(sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
                 pos_t[..., 2].reshape(-1), keff * h_t.reshape(-1),
                 sk_t.reshape(-1))
     nv = jnp.minimum(n_sph, w) * sub
-    keep = gk2.filter_sph(nv, tgt, cand, b=cfg.nbr_group_size, chunk=chunk)
+    keep = gk2.filter_sph(nv, tgt, cand, b=cfg.nbr_group_size, chunk=chunk,
+                          gb=cfg.kernel_gb)
     wc = w * sub
     mask = keep[:, :wc] > 0.0
     cid = (jnp.clip(sph_idx, 0, nsub - 1)[:, :, None] * sub
@@ -564,11 +565,12 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
         # grad-h pass needs no source h: rows = (x, y, z, m)
         rho_c, nn_c, xi_c = gk2.pass1_gradh(
             nv, tgt1, [src1[0], src1[1], src1[2], src1[4]], b=bsz,
-            chunk=chunk)
+            chunk=chunk, gb=cfg.kernel_gb)
         rho = jnp.maximum(rho_c[:, 0], 1e-30)
         omega = 1.0 + th * xi_c[:, 0] / (3.0 * rho)
         return rho, nn_c[:, 0] - 1, omega
-    rho_c, nn_c = gk2.pass1_sym(nv, tgt1, src1, b=bsz, chunk=chunk)
+    rho_c, nn_c = gk2.pass1_sym(nv, tgt1, src1, b=bsz, chunk=chunk,
+                                gb=cfg.kernel_gb)
     return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0] - 1, None
 
 
@@ -633,13 +635,13 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     rows = [jnp.pad(v, (0, npad - nfar))[None, :] for v in far]
     phi_m, gmx, gmy, gmz, na_c = gk.m2p(
         _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
-        g_const=cfg.g_const, bf16=bf16)
+        g_const=cfg.g_const, bf16=bf16, gb=cfg.kernel_gb)
     if cfg.sg_blocks > 1:
         blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx, chunk)
         nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
         phi_b, gbx, gby, gbz, nb_c = gk.m2p_ring(
             nv_blk, _cols(t["x"], t["y"], t["z"]), blk_rows, b=bsz,
-            chunk=chunk, g_const=cfg.g_const)
+            chunk=chunk, g_const=cfg.g_const, gb=cfg.kernel_gb)
         phi_m = phi_m + phi_b
         gmx, gmy, gmz = gmx + gbx, gmy + gby, gmz + gbz
         na_c = na_c + nb_c
@@ -650,7 +652,7 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
     phi_r, grx, gry, grz, nr_c = gk.m2p_ring(
         nv_ring, _cols(t["x"], t["y"], t["z"]), ring_rows, b=bsz,
-        chunk=chunk, g_const=cfg.g_const)
+        chunk=chunk, g_const=cfg.g_const, gb=cfg.kernel_gb)
 
     # near tier: particle-particle over sub-block windows. The v2 kernel
     # includes the self pair (dx=0 kills the force; the Dyer-Ip inner
@@ -664,7 +666,7 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     phi_p, gpx2, gpy2, gpz2, nd_c = gk2.p2p(
         nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"]), srcp,
         b=bsz, chunk=chunk, receiver_soft=receiver,
-        g_const=cfg.g_const, bf16=bf16)
+        g_const=cfg.g_const, bf16=bf16, gb=cfg.kernel_gb)
     self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
 
     phi = (phi_m + phi_r + phi_p)[:, 0] + self_phi
@@ -775,7 +777,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
-        av_beta=cfg.av_beta)
+        av_beta=cfg.av_beta, gb=cfg.kernel_gb)
     grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
     if p_scale is not None:
         grad_p_t = grad_p_t * p_scale[:, None]
@@ -826,15 +828,27 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     margin, then iterates the gather-form density with h clamped to
     [h/(1+c), h*(1+c)] (c = cfg.h_newton_clamp) so the smoothing length can
     never outgrow the widened windows. Returns the new h in original order.
+
+    Window capacities are scaled by the margin's volume factor (1+c)^3 so
+    the widened adjacency never silently outgrows them, and when the main
+    pipeline runs exact candidate lists the solve refines its own margin-
+    valid exact lists too: the h_newton_iters density sweeps then run
+    ~3x fewer pair slots each, amortizing the one extra filter pass
+    (measured ~38 ms -> ~20 ms per rebuild at the settled 100k point).
     """
     c = cfg.h_newton_clamp
     if cfg.h_max > 0.0:
         h = jnp.minimum(h, cfg.h_max)   # halo cap (see SimConfig.h_max)
-    # throwaway structure: skip the gravity partition, and keep sub-block
-    # windows even when the main pipeline uses exact candidate lists — the
-    # refine pass only amortizes over a full rebuild period, not over
-    # h_newton_iters density sweeps
-    cfg = cfg.replace(sph_exact_window=0)
+    factor = (1.0 + c) ** 3
+    scale = lambda w, q: int(-(-int(w * factor) // q) * q)
+    wx = 0
+    if cfg.sph_exact_window > 0:
+        wx = cfg.h_solve_window or scale(cfg.sph_exact_window,
+                                         cfg.block_chunk)
+    # throwaway structure: skip the gravity partition; margin-scaled
+    # capacities keep the widened adjacency overflow-free
+    cfg = cfg.replace(sph_exact_window=wx,
+                      nbr_window=scale(cfg.nbr_window, 16))
     st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
                h_margin=c, groups=groups, sph_only=True)
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,

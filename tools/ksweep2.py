@@ -67,6 +67,34 @@ VARIANTS = {
     "b128s16w": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
                      sort_every=64, nbr_window=416, p2p_window=512,
                      m2p_window=896),
+    # supergroup far tier with the TIGHT member-reach bmax (post-a4896f3)
+    "k16sg8":  dict(rebuild_every=16, sort_every=64, sg_blocks=8,
+                    blk_window=256),
+    "k16sg16": dict(rebuild_every=16, sort_every=64, sg_blocks=16,
+                    blk_window=320),
+    "bsg8": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
+                 sort_every=64, nbr_window=416, p2p_window=512,
+                 m2p_window=896, sg_blocks=8, blk_window=256),
+    "bsg4": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
+                 sort_every=64, nbr_window=416, p2p_window=512,
+                 m2p_window=896, sg_blocks=4, blk_window=192),
+    # post-exact-h-solve candidates: exact SPH lists (single-trip pass1/2
+    # + 2x faster Newton solve) at longer rebuild periods
+    "xwk16":  dict(rebuild_every=16, sort_every=64, sph_exact_window=512),
+    "xwk32":  dict(rebuild_every=32, sort_every=64, sph_exact_window=512,
+                   nbr_window=240, p2p_window=352, m2p_window=192),
+    "bxwk16": dict(nbr_group_size=128, nbr_sub=16, rebuild_every=16,
+                   sort_every=64, nbr_window=416, p2p_window=512,
+                   m2p_window=896, sph_exact_window=1024),
+    "xwk16i2": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                    h_newton_iters=2),
+    # accuracy-for-speed trades (drift budget 2.8e-4 vs 1e-3 target):
+    # wider MAC acceptance shrinks the near-field P2P tier; bf16 pair math
+    # halves the per-slot cost of the gravity sweeps
+    "xwk16t08": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                     theta=0.8, p2p_window=176, m2p_window=160),
+    "xwk16bf": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                    grav_pair_dtype="bfloat16"),
 }
 
 

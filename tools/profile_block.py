@@ -54,6 +54,8 @@ def main():
                     help="sph_exact_window (particle-granularity lists)")
     ap.add_argument("--gradh", action="store_true",
                     help="profile the grad_h production physics config")
+    ap.add_argument("--gb", type=int, default=None,
+                    help="kernel_gb override (groups per Pallas grid step)")
     args = ap.parse_args()
     want = set(args.only.split(",")) if args.only else None
 
@@ -68,6 +70,8 @@ def main():
         kw["sph_exact_window"] = args.xw
     if args.gradh:
         kw.update(grad_p_mode="grad_h", h_mode="newton")
+    if args.gb is not None:
+        kw["kernel_gb"] = args.gb
     cfg = config_mod.jupiter_100k(n=args.n, **kw)
     if args.ck:
         from planetmodel_sph_tpu.utils import checkpoint
@@ -172,10 +176,11 @@ def main():
                 if gradh:
                     rho, nn, xi = gk2.pass1_gradh(
                         nv_, tg2, [rows[0], rows[1], rows[2], rows[4]],
-                        b=bsz, chunk=chunk)
+                        b=bsz, chunk=chunk, gb=cfg.kernel_gb)
                 else:
                     rho, nn = gk2.pass1_sym(nv_, tg2, rows, b=bsz,
-                                            chunk=chunk)
+                                            chunk=chunk,
+                                            gb=cfg.kernel_gb)
                 return c + 1e-12 * rho[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
@@ -198,7 +203,8 @@ def main():
                 tg2 = [tg[0] + c] + tg[1:]
                 outs = gk2.pass2(nv_, tg2, rows, b=bsz, chunk=chunk,
                                  mode="grad_h" if gradh else "symmetric",
-                                 av=False, sign_bug=False)
+                                 av=False, sign_bug=False,
+                                 gb=cfg.kernel_gb)
                 return c + 1e-12 * outs[0][0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
@@ -220,7 +226,8 @@ def main():
                 tg2 = [tg[0] + c] + tg[1:]
                 phi, gx, gy, gz, nd = gk2.p2p(
                     nv_, tg2, rows, b=bsz, chunk=chunk,
-                    receiver_soft=receiver, g_const=cfg.g_const)
+                    receiver_soft=receiver, g_const=cfg.g_const,
+                    gb=cfg.kernel_gb)
                 return c + 1e-12 * phi[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
@@ -237,7 +244,8 @@ def main():
             def body(c, _):
                 tg2 = [tg[0] + c] + tg[1:]
                 phi, gx, gy, gz, na = gkm.m2p(tg2, sm, acc, b=bsz,
-                                              chunk=chunk, g_const=1.0)
+                                              chunk=chunk, g_const=1.0,
+                                              gb=cfg.kernel_gb)
                 return c + 1e-12 * phi[0, 0], None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
