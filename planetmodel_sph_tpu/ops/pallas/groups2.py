@@ -616,3 +616,149 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
     return _call(kern, out_dtypes=[jnp.float32] * 4 + [jnp.int32],
                  smem=[nv], tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
                  n_acc=5, gb=gb)
+
+
+# ---------------------------------------------------------------------------
+# fused gravity: P2P + ring monopoles + far scan in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+def _gravity_fused_kernel(nvp_ref, nvr_ref, *args, chunk, receiver_soft,
+                          g_const, bf16):
+    it = iter(args)
+    tx, ty, tz, tih = (next(it) for _ in range(4))
+    prows = [next(it) for _ in range(4 if receiver_soft else 5)]
+    rrows = [next(it) for _ in range(4)]          # ring: m, cx, cy, cz
+    frows = [next(it) for _ in range(4)]          # far:  m, cx, cy, cz (2-D)
+    acc_r = next(it)                              # accept [1, 1, NBpad]
+    phi_ref, gx_ref, gy_ref, gz_ref, nd_ref, na_ref = (next(it)
+                                                       for _ in range(6))
+    a_phi, a_gx, a_gy, a_gz, a_cnt = (next(it) for _ in range(5))
+    pid = pl.program_id(0)
+    txv, tyv, tzv, tihv = tx[:], ty[:], tz[:], tih[:]
+    zero = jnp.zeros(a_phi.shape, jnp.float32)
+    a_phi[:] = zero
+    a_gx[:] = zero
+    a_gy[:] = zero
+    a_gz[:] = zero
+    a_cnt[:] = zero
+
+    def p2p_body(tiles, valid):
+        if receiver_soft:
+            cx, cy, cz, cm = tiles
+            inv_a = tihv
+        else:
+            cx, cy, cz, cih, cm = tiles
+            inv_a = jnp.minimum(tihv, cih)
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        m_eff = jnp.where(valid, cm, 0.0)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        x = (r2 * inv_r) * inv_a
+        near = x < 1.0
+        if bf16:
+            bf = lambda v: v.astype(jnp.bfloat16)
+            dxx, dxy, dxz = bf(dxx), bf(dxy), bf(dxz)
+            x, m_eff = bf(x), bf(m_eff)
+            inv_a = jnp.broadcast_to(bf(inv_a), dxx.shape)
+            inv_r = bf(inv_r)
+        x2 = x * x
+        x3 = x2 * x
+        inv_a3 = inv_a * inv_a * inv_a
+        inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+        inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
+                                        - 0.4 * x2 * x3)
+        mr = m_eff * inv_r
+        outer_mag = mr * inv_r * inv_r
+        mag = jnp.where(near, inner_mag, outer_mag)
+        phi = jnp.where(near, inner_phi, -mr)
+        f32 = (lambda v: v.astype(jnp.float32)) if bf16 else (lambda v: v)
+        a_phi[:] += f32(phi)
+        a_gx[:] += f32(dxx * mag)
+        a_gy[:] += f32(dxy * mag)
+        a_gz[:] += f32(dxz * mag)
+        a_cnt[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
+
+    def mono_body(tiles, valid):
+        cm_, cx, cy, cz = tiles
+        m_eff = jnp.where(valid & (cm_ > 0.0), cm_, 0.0)
+        dxx = txv - cx
+        dxy = tyv - cy
+        dxz = tzv - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        if bf16:
+            bf = lambda v: v.astype(jnp.bfloat16)
+            dxx, dxy, dxz = bf(dxx), bf(dxy), bf(dxz)
+            m_eff, inv_r = bf(m_eff), bf(inv_r)
+        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
+        f32 = (lambda v: v.astype(jnp.float32)) if bf16 else (lambda v: v)
+        a_phi[:] += f32(-m_eff * inv_r)
+        a_gx[:] += f32(dxx * mag)
+        a_gy[:] += f32(dxy * mag)
+        a_gz[:] += f32(dxz * mag)
+        a_cnt[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
+
+    # near tier first: its count reduces to n_direct, then the counter is
+    # reused for the two monopole tiers (n_approx)
+    _sweep(nvp_ref[pid], 0, prows, chunk, p2p_body)
+    nd_ref[:] = _rsum(a_cnt).astype(jnp.int32)
+    a_cnt[:] = zero
+    _sweep(nvr_ref[pid], 0, rrows, chunk, mono_body)
+
+    def far_body(tiles, valid):
+        cm_, cx, cy, cz, cacc = tiles
+        mono_body((jnp.where(cacc > 0.5, cm_, 0.0), cx, cy, cz), valid)
+
+    nbpad = frows[0].shape[-1]
+    _sweep(jnp.asarray(nbpad, jnp.int32), 0, frows + [acc_r], chunk,
+           far_body)
+    na_ref[:] = _rsum(a_cnt).astype(jnp.int32)
+    phi_ref[:] = g_const * _rsum(a_phi)
+    gx_ref[:] = g_const * _rsum(a_gx)
+    gy_ref[:] = g_const * _rsum(a_gy)
+    gz_ref[:] = g_const * _rsum(a_gz)
+
+
+def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
+                  accept, *, b, chunk, receiver_soft, g_const, bf16=False):
+    """All three gravity tiers in one kernel launch (one grid pass per
+    target group; ~0.35 ms/launch grid machinery and the per-tier target
+    loads and XLA tier-summing paid once instead of three times).
+
+    tgt cols: x,y,z,ih. p2p_rows: x,y,z,(ih,)m windows [G, Sp]. ring_rows:
+    mass,cmx,cmy,cmz windows [G, Sr]. far_rows: mass,cmx,cmy,cmz summaries
+    [1, NBpad] (broadcast). accept: [G, NBpad] f32 frozen MAC mask.
+    Returns (phi, gx, gy, gz, n_direct, n_approx); the p2p self term is
+    INCLUDED (see :func:`p2p`)."""
+    sp = p2p_rows[0].shape[1]
+    sr = ring_rows[0].shape[1]
+    nbpad = far_rows[0].shape[1]
+    g_total = tgt[0].shape[0] // b
+    col = pl.BlockSpec((b, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    rowp = pl.BlockSpec((1, 1, sp), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rowr = pl.BlockSpec((1, 1, sr), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rowf = pl.BlockSpec((1, nbpad), lambda g: (0, 0),
+                        memory_space=pltpu.VMEM)
+    rowa = pl.BlockSpec((1, 1, nbpad), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = [jax.ShapeDtypeStruct((g_total * b, 1), jnp.float32)] * 4 + \
+           [jax.ShapeDtypeStruct((g_total * b, 1), jnp.int32)] * 2
+    kern = functools.partial(_gravity_fused_kernel, chunk=chunk,
+                             receiver_soft=receiver_soft, g_const=g_const,
+                             bf16=bf16)
+    return pl.pallas_call(
+        kern,
+        grid=(g_total,),
+        in_specs=[_SCL, _SCL] + [col] * 4 + [rowp] * len(p2p_rows)
+        + [rowr] * 4 + [rowf] * 4 + [rowa],
+        out_specs=[col] * 6,
+        out_shape=outs,
+        scratch_shapes=[pltpu.VMEM((b, chunk), jnp.float32)
+                        for _ in range(5)],
+        interpret=not _on_tpu(),
+    )(nv_p2p, nv_ring, *tgt, *[r[:, None, :] for r in p2p_rows],
+      *[r[:, None, :] for r in ring_rows], *far_rows, accept[:, None, :])

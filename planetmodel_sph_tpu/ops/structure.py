@@ -612,12 +612,36 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
         return um, cx, cy, cz
 
     bf16 = cfg.grav_pair_dtype == "bfloat16"
+    receiver = cfg.softening_mode == "receiver_h"
+    self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
 
-    # far tier: dense scan over block (or supergroup) monopoles under the
-    # frozen mask; with sg_blocks on, blocks whose supergroup failed the
-    # MAC but that pass it themselves come in as windowed entries
     bmass, cmx, cmy, cmz = moments(nb, bsz)
     npad = st.accept.shape[1]
+
+    if cfg.sg_blocks <= 1:
+        # ---- fused path: P2P + ring + dense far scan in ONE launch ----
+        far_rows = [jnp.pad(v, (0, npad - nb))[None, :]
+                    for v in (bmass, cmx, cmy, cmz)]
+        smass, scx, scy, scz = moments(nsub, sub)
+        ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx,
+                                  chunk)
+        nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
+        nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
+        srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
+        if receiver:
+            srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
+        phi_c, gx, gy, gz, nd_c, na_c = gk2.gravity_fused(
+            nv_p2p, nv_ring, _cols(t["x"], t["y"], t["z"], t["ih"]),
+            srcp, ring_rows, far_rows, st.accept, b=bsz, chunk=chunk,
+            receiver_soft=receiver, g_const=cfg.g_const, bf16=bf16)
+        phi = phi_c[:, 0] + self_phi
+        grad_phi = jnp.concatenate([gx, gy, gz], axis=-1)
+        return phi, grad_phi, nd_c[:, 0] - 1, na_c[:, 0]
+
+    # ---- supergroup (sg_blocks > 1) path: separate tier launches ----
+    # far tier: dense scan over supergroup monopoles under the frozen
+    # mask; blocks whose supergroup failed the MAC but that pass it
+    # themselves come in as windowed entries
     if cfg.sg_blocks > 1:
         sgf = cfg.sg_blocks
         nsg = -(-nb // sgf)
@@ -658,7 +682,6 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     # includes the self pair (dx=0 kills the force; the Dyer-Ip inner
     # branch adds the finite self potential -2.4 m_i/a_i at x=0, and the
     # self pair lands in n_direct) — both corrected analytically here.
-    receiver = cfg.softening_mode == "receiver_h"
     nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
     srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
     if receiver:
@@ -667,7 +690,6 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
         nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"]), srcp,
         b=bsz, chunk=chunk, receiver_soft=receiver,
         g_const=cfg.g_const, bf16=bf16, gb=cfg.kernel_gb)
-    self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
 
     phi = (phi_m + phi_r + phi_p)[:, 0] + self_phi
     grad_phi = jnp.concatenate(
