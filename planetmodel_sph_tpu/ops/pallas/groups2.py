@@ -622,12 +622,15 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
 # fused gravity: P2P + ring monopoles + far scan in ONE pallas_call
 # ---------------------------------------------------------------------------
 
-def _gravity_fused_kernel(nvp_ref, nvr_ref, *args, chunk, receiver_soft,
-                          g_const, bf16):
+def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
+                          has_blk):
     it = iter(args)
+    nvp_ref, nvr_ref = next(it), next(it)
+    nvb_ref = next(it) if has_blk else None
     tx, ty, tz, tih = (next(it) for _ in range(4))
     prows = [next(it) for _ in range(4 if receiver_soft else 5)]
     rrows = [next(it) for _ in range(4)]          # ring: m, cx, cy, cz
+    brows = [next(it) for _ in range(4)] if has_blk else None
     frows = [next(it) for _ in range(4)]          # far:  m, cx, cy, cz (2-D)
     acc_r = next(it)                              # accept [1, 1, NBpad]
     phi_ref, gx_ref, gy_ref, gz_ref, nd_ref, na_ref = (next(it)
@@ -706,6 +709,8 @@ def _gravity_fused_kernel(nvp_ref, nvr_ref, *args, chunk, receiver_soft,
     nd_ref[:] = _rsum(a_cnt).astype(jnp.int32)
     a_cnt[:] = zero
     _sweep(nvr_ref[pid], 0, rrows, chunk, mono_body)
+    if has_blk:
+        _sweep(nvb_ref[pid], 0, brows, chunk, mono_body)
 
     def far_body(tiles, valid):
         cm_, cx, cy, cz, cacc = tiles
@@ -722,16 +727,20 @@ def _gravity_fused_kernel(nvp_ref, nvr_ref, *args, chunk, receiver_soft,
 
 
 def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
-                  accept, *, b, chunk, receiver_soft, g_const, bf16=False):
-    """All three gravity tiers in one kernel launch (one grid pass per
-    target group; ~0.35 ms/launch grid machinery and the per-tier target
-    loads and XLA tier-summing paid once instead of three times).
+                  accept, *, b, chunk, receiver_soft, g_const, bf16=False,
+                  nv_blk=None, blk_rows=None):
+    """All gravity tiers in one kernel launch (one grid pass per target
+    group; ~0.35 ms/launch grid machinery and the per-tier target loads
+    and XLA tier-summing paid once instead of three-to-four times).
 
     tgt cols: x,y,z,ih. p2p_rows: x,y,z,(ih,)m windows [G, Sp]. ring_rows:
     mass,cmx,cmy,cmz windows [G, Sr]. far_rows: mass,cmx,cmy,cmz summaries
     [1, NBpad] (broadcast). accept: [G, NBpad] f32 frozen MAC mask.
+    nv_blk/blk_rows: optional 4th tier — block-monopole ring windows of
+    the supergroup partition (same layout as ring_rows).
     Returns (phi, gx, gy, gz, n_direct, n_approx); the p2p self term is
     INCLUDED (see :func:`p2p`)."""
+    has_blk = blk_rows is not None
     sp = p2p_rows[0].shape[1]
     sr = ring_rows[0].shape[1]
     nbpad = far_rows[0].shape[1]
@@ -749,16 +758,25 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
            [jax.ShapeDtypeStruct((g_total * b, 1), jnp.int32)] * 2
     kern = functools.partial(_gravity_fused_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const,
-                             bf16=bf16)
+                             bf16=bf16, has_blk=has_blk)
+    smem, blk_specs, blk_args = [nv_p2p, nv_ring], [], []
+    if has_blk:
+        sb = blk_rows[0].shape[1]
+        rowb = pl.BlockSpec((1, 1, sb), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+        smem.append(nv_blk)
+        blk_specs = [rowb] * 4
+        blk_args = [r[:, None, :] for r in blk_rows]
     return pl.pallas_call(
         kern,
         grid=(g_total,),
-        in_specs=[_SCL, _SCL] + [col] * 4 + [rowp] * len(p2p_rows)
-        + [rowr] * 4 + [rowf] * 4 + [rowa],
+        in_specs=[_SCL] * len(smem) + [col] * 4 + [rowp] * len(p2p_rows)
+        + [rowr] * 4 + blk_specs + [rowf] * 4 + [rowa],
         out_specs=[col] * 6,
         out_shape=outs,
         scratch_shapes=[pltpu.VMEM((b, chunk), jnp.float32)
                         for _ in range(5)],
         interpret=not _on_tpu(),
-    )(nv_p2p, nv_ring, *tgt, *[r[:, None, :] for r in p2p_rows],
-      *[r[:, None, :] for r in ring_rows], *far_rows, accept[:, None, :])
+    )(*smem, *tgt, *[r[:, None, :] for r in p2p_rows],
+      *[r[:, None, :] for r in ring_rows], *blk_args, *far_rows,
+      accept[:, None, :])

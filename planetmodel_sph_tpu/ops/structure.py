@@ -46,7 +46,6 @@ from ..config import SimConfig
 from . import eos as eos_ops
 from . import grouping
 from .gravity import accept_bmax
-from .pallas import groups as gk
 from .pallas import groups2 as gk2
 
 
@@ -618,30 +617,11 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     bmass, cmx, cmy, cmz = moments(nb, bsz)
     npad = st.accept.shape[1]
 
-    if cfg.sg_blocks <= 1:
-        # ---- fused path: P2P + ring + dense far scan in ONE launch ----
-        far_rows = [jnp.pad(v, (0, npad - nb))[None, :]
-                    for v in (bmass, cmx, cmy, cmz)]
-        smass, scx, scy, scz = moments(nsub, sub)
-        ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx,
-                                  chunk)
-        nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
-        nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
-        srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
-        if receiver:
-            srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
-        phi_c, gx, gy, gz, nd_c, na_c = gk2.gravity_fused(
-            nv_p2p, nv_ring, _cols(t["x"], t["y"], t["z"], t["ih"]),
-            srcp, ring_rows, far_rows, st.accept, b=bsz, chunk=chunk,
-            receiver_soft=receiver, g_const=cfg.g_const, bf16=bf16)
-        phi = phi_c[:, 0] + self_phi
-        grad_phi = jnp.concatenate([gx, gy, gz], axis=-1)
-        return phi, grad_phi, nd_c[:, 0] - 1, na_c[:, 0]
-
-    # ---- supergroup (sg_blocks > 1) path: separate tier launches ----
-    # far tier: dense scan over supergroup monopoles under the frozen
-    # mask; blocks whose supergroup failed the MAC but that pass it
-    # themselves come in as windowed entries
+    # ---- ONE fused launch: P2P + ring (+ blk ring) + dense far scan ----
+    # far tier: dense scan over block (or supergroup) monopoles under the
+    # frozen mask; with sg_blocks on, blocks whose supergroup failed the
+    # MAC but that pass it themselves come in as windowed blk entries
+    nv_blk = blk_rows = None
     if cfg.sg_blocks > 1:
         sgf = cfg.sg_blocks
         nsg = -(-nb // sgf)
@@ -653,32 +633,19 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
             axis=1) * inv
         far = (sgm, wsum(cmx), wsum(cmy), wsum(cmz))
         nfar = nsg
+        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx, chunk)
+        nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
     else:
         far = (bmass, cmx, cmy, cmz)
         nfar = nb
-    rows = [jnp.pad(v, (0, npad - nfar))[None, :] for v in far]
-    phi_m, gmx, gmy, gmz, na_c = gk.m2p(
-        _cols(t["x"], t["y"], t["z"]), rows, st.accept, b=bsz, chunk=chunk,
-        g_const=cfg.g_const, bf16=bf16, gb=cfg.kernel_gb)
-    if cfg.sg_blocks > 1:
-        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx, chunk)
-        nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
-        phi_b, gbx, gby, gbz, nb_c = gk.m2p_ring(
-            nv_blk, _cols(t["x"], t["y"], t["z"]), blk_rows, b=bsz,
-            chunk=chunk, g_const=cfg.g_const, gb=cfg.kernel_gb)
-        phi_m = phi_m + phi_b
-        gmx, gmy, gmz = gmx + gbx, gmy + gby, gmz + gbz
-        na_c = na_c + nb_c
+    far_rows = [jnp.pad(v, (0, npad - nfar))[None, :] for v in far]
 
-    # ring tier: windowed sub-block monopoles (current moments)
+    # ring tier: windowed sub-block monopoles (current moments).
     smass, scx, scy, scz = moments(nsub, sub)
     ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx, chunk)
     nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
-    phi_r, grx, gry, grz, nr_c = gk.m2p_ring(
-        nv_ring, _cols(t["x"], t["y"], t["z"]), ring_rows, b=bsz,
-        chunk=chunk, g_const=cfg.g_const, gb=cfg.kernel_gb)
 
-    # near tier: particle-particle over sub-block windows. The v2 kernel
+    # near tier: particle-particle over sub-block windows. The kernel
     # includes the self pair (dx=0 kills the force; the Dyer-Ip inner
     # branch adds the finite self potential -2.4 m_i/a_i at x=0, and the
     # self pair lands in n_direct) — both corrected analytically here.
@@ -686,15 +653,15 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
     if receiver:
         srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
-    phi_p, gpx2, gpy2, gpz2, nd_c = gk2.p2p(
-        nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"]), srcp,
-        b=bsz, chunk=chunk, receiver_soft=receiver,
-        g_const=cfg.g_const, bf16=bf16, gb=cfg.kernel_gb)
 
-    phi = (phi_m + phi_r + phi_p)[:, 0] + self_phi
-    grad_phi = jnp.concatenate(
-        [gmx + grx + gpx2, gmy + gry + gpy2, gmz + grz + gpz2], axis=-1)
-    return phi, grad_phi, nd_c[:, 0] - 1, (na_c + nr_c)[:, 0]
+    phi_c, gx, gy, gz, nd_c, na_c = gk2.gravity_fused(
+        nv_p2p, nv_ring, _cols(t["x"], t["y"], t["z"], t["ih"]),
+        srcp, ring_rows, far_rows, st.accept, b=bsz, chunk=chunk,
+        receiver_soft=receiver, g_const=cfg.g_const, bf16=bf16,
+        nv_blk=nv_blk, blk_rows=blk_rows)
+    phi = phi_c[:, 0] + self_phi
+    grad_phi = jnp.concatenate([gx, gy, gz], axis=-1)
+    return phi, grad_phi, nd_c[:, 0] - 1, na_c[:, 0]
 
 
 def _unsort(st: BlockStructure, fields):

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-2 fused-kernel measurement battery: run when the TPU comes back.
+# Each stage appends to /tmp/r2m.log; safe to re-run (idempotent).
+set -x
+cd /root/repo
+LOG=/tmp/r2m.log
+echo "=== $(date) fused-kernel battery ===" >> $LOG
+
+# 0. health probe
+timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('devices', jax.devices())
+print('probe', float(jnp.sum(jnp.ones((256,256)) @ jnp.ones((256,256)))))
+" >> $LOG 2>&1 || { echo "TPU DOWN" >> $LOG; exit 1; }
+
+# 1. component profile at the settled operating point (k=32, honest)
+timeout 1200 python tools/profile_block.py --only forces,build,hsolve \
+    --k 32 --ck docs/results/drift100k/state.psph --gradh >> $LOG 2>&1
+
+# 2. operating-point sweep: fused base, exact lists, supergroup, theta
+timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
+    --var k16 --var xwk16 --var bsg4 --var xwk16t08 >> $LOG 2>&1
+
+echo "=== battery done $(date) ===" >> $LOG
