@@ -197,23 +197,27 @@ def _run_dp(args, cfg, state, start_step) -> int:
     _log(f"dp mesh over {n_dev} device(s): {mesh}")
     state = mesh_mod.shard_state(state, mesh)
     state = dp.make_prime(cfg, mesh)(state)
-    runner = dp.make_run(cfg, mesh)
+    runner = dp.make_run_diag(cfg, mesh)
 
     # mirror cmd_run: clamp the chunk to the request, run the remainder too
     every = max(1, min(args.diag_every, args.steps))
     n_chunks = args.steps // every
     rem = args.steps - n_chunks * every
-    chunks = [every] * n_chunks + ([rem] if rem else [])
     t0 = time.perf_counter()
     rows = []
     step_nos = []
     cur = start_step
-    for k in chunks:
-        state = runner(state, k)
-        cur += k
+    if n_chunks:
+        state, d = runner(state, n_chunks, every)
+        rows += [{k2: float(v[i]) for k2, v in d.items()}
+                 for i in range(n_chunks)]
+        step_nos += [cur + (i + 1) * every for i in range(n_chunks)]
+        cur += n_chunks * every
+    if rem:
+        state, d = runner(state, 1, rem)
+        rows.append({k2: float(v[0]) for k2, v in d.items()})
+        cur += rem
         step_nos.append(cur)
-        rows.append({k2: float(v)
-                     for k2, v in diagnostics.measure(state, cfg).items()})
     float(jax.numpy.sum(state.pos))       # honest sync (see cmd_run)
     dt_wall = time.perf_counter() - t0
     total = cur - start_step

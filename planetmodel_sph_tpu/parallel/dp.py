@@ -152,6 +152,37 @@ def make_run(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     return jax.jit(run, static_argnames=("n_steps",))
 
 
+def make_run_diag(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
+    """Jitted (state, n_chunks, chunk) -> (state, stacked diagnostics).
+
+    The whole dp run is ONE dispatch: an outer in-graph scan alternates
+    shard_map'd step chunks with global diagnostics reductions (GSPMD
+    partitions the reductions; no per-chunk Python re-dispatch — the
+    in-graph analog of ``planet.run_with_diagnostics`` for the dp path)."""
+    from ..utils import diagnostics
+
+    def run(state, n_chunks, chunk):
+        inner = shard_map(partial(local_run_steps, cfg=cfg, axis=axis,
+                                  n_steps=chunk), mesh=mesh,
+                          in_specs=P(axis), out_specs=P(axis),
+                          check_vma=False)
+
+        def outer(s, _):
+            s = inner(s)
+            return s, diagnostics.measure(s, cfg)
+
+        return jax.lax.scan(outer, state, None, length=n_chunks)
+
+    return jax.jit(run, static_argnames=("n_chunks", "chunk"))
+
+
+def local_run_steps(state, *, cfg, axis, n_steps):
+    def body(s, _):
+        return planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis)), None
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
 def make_prime(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     def local_prime(state):
         return planet.prime(state, cfg, forces_fn=_dp_forces(cfg, axis))
