@@ -95,6 +95,20 @@ VARIANTS = {
                      theta=0.8, p2p_window=176, m2p_window=160),
     "xwk16bf": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
                     grav_pair_dtype="bfloat16"),
+    # fused-gravity-era combos (one launch for all tiers): exact lists x
+    # supergroup far tier (blk windows sized up — the first bsg sweep
+    # overflowed the blk tier by 300k-3.6M entries, invalid numbers) x
+    # theta x chunk width (chunk=256 halves the ceil-to-chunk padding of
+    # the settled ~80-sub windows)
+    "xwk16sg4": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                     sg_blocks=4, blk_window=768),
+    "xwk16sg8": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                     sg_blocks=8, blk_window=1280),
+    "xwk16c256": dict(rebuild_every=16, sort_every=64,
+                      sph_exact_window=512, block_chunk=256),
+    "xwk16t08sg4": dict(rebuild_every=16, sort_every=64,
+                        sph_exact_window=512, theta=0.8, p2p_window=176,
+                        m2p_window=160, sg_blocks=4, blk_window=768),
 }
 
 
