@@ -78,6 +78,26 @@ def main():
     timed(f"take_along_axis [{g},{wc}]->[,{wx}] x{c}",
           per_take, (rows, rowidx))
 
+    # row-size curve for the moment-entry gather (ring/blk tiers):
+    # a [NSUB, 4] table gathered through [G, W] ids measures ~3 ms/step
+    # (tiny 16 B rows); padding the table rows may trade bytes for row
+    # rate. Decides _entry_gather's pad width.
+    nsub, w = 4134, 128
+    eidx = jax.random.randint(key, (g, w), 0, nsub, jnp.int32)
+
+    def entry_gather(table_, idx_, k_):
+        def body(carry, _):
+            gat = table_[jnp.clip(idx_ + carry, 0, nsub - 1)]
+            s = sum(gat[:, :, kk].sum() for kk in range(4))
+            return carry + (s * 1e-30).astype(jnp.int32), None
+        out, _ = jax.lax.scan(body, jnp.int32(0), None, length=k_)
+        return out
+
+    for padw in (4, 8, 32, 64, 160):
+        table = jax.random.normal(jax.random.PRNGKey(99), (nsub, padw))
+        timed(f"entry-gather [{nsub},{padw}] ({padw*4}B rows) -> "
+              f"[{g},{w}]", entry_gather, (table, eidx))
+
 
 if __name__ == "__main__":
     main()

@@ -24,4 +24,7 @@ timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
 # 3. xplane trace + top-op summary at the settled point (the glue hunt)
 timeout 1800 python tools/trace_run.py --steps 16 >> $LOG 2>&1
 
+# 4. entry-gather row-size curve (ring/blk moment gathers)
+timeout 900 python tools/micro_gather.py >> $LOG 2>&1
+
 echo "=== battery done $(date) ===" >> $LOG
