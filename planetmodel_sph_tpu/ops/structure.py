@@ -741,9 +741,15 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     to_src = lambda x: _to_source_layout(x, st, gather_fn)
     nv = _sph_nv(st, cfg)
     tgt2 = _cols(t["x"], t["y"], t["z"], t["ih"])
+    # Fully-dead groups (empty Morton cells) sit at the rho floor, where
+    # rho^2 underflows f32 and P/rho^2 is 0/0 = NaN. The sub-window sweep
+    # never evaluates those rows (0 trips at nv=0), but the exact-list
+    # single-trip sweep always does, and 0-mass x NaN-coef = NaN poisons
+    # the whole state on the next step. Zero the coefficient there.
+    rho_ok = rho_t > 1e-20
     if gradh:
         om_safe = jnp.maximum(omega, 0.1)   # robustness floor (see dense.py)
-        coef_t = prs_t / (om_safe * rho_t * rho_t)
+        coef_t = jnp.where(rho_ok, prs_t / (om_safe * rho_t * rho_t), 0.0)
         tgt2 += _cols(coef_t)
         cc = coef_t
         p_scale = rho_t
@@ -751,7 +757,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         cc = prs_t / rho_t
         p_scale = None
     else:
-        coef_t = prs_t / (rho_t * rho_t)
+        coef_t = jnp.where(rho_ok, prs_t / (rho_t * rho_t), 0.0)
         tgt2 += _cols(coef_t)
         cc = coef_t
         p_scale = rho_t

@@ -288,3 +288,35 @@ def test_exact_candidate_overflow_counted_not_silent():
     pos, h, mass = _cloud(cfg.n, seed=4)
     st = structure.build(pos, h, mass, cfg)
     assert int(st.sph_overflow) > 0
+
+
+@pytest.mark.parametrize("xw", [0, 512])
+def test_dead_groups_no_nan_in_sorted_io(xw):
+    """Empty Morton cells produce fully-dead groups whose rho sits at the
+    1e-30 floor; the P/rho^2 coefficient there is 0/0. The exact-list
+    single-trip sweep evaluates those rows (0-mass x NaN = NaN), which
+    poisoned entire cached sorted-chunk runs. All outputs must be finite
+    on every slot, and a multi-step cached run must stay finite."""
+    from planetmodel_sph_tpu import config as config_mod
+    from planetmodel_sph_tpu.models import ics, planet
+
+    kw = dict(n=2048, neighbor_mode="grid", gravity_solver="tree",
+              nbr_group_level=3, nbr_window=128, p2p_window=128,
+              m2p_window=128, rebuild_every=4)
+    if xw:
+        kw["sph_exact_window"] = xw
+    cfg = config_mod.SimConfig(**kw)
+    state = ics.jupiter(cfg)
+    st = planet._build_caches(state.pos, state.h, state.mass, state.vel,
+                              cfg, accel=state.accel)
+    grp = st.groups
+    assert int(jnp.sum(~jnp.any(grp.live, axis=1))) > 0, \
+        "scenario must contain fully-dead groups"
+    sp = state.pos[grp.tgt_idx]
+    bf = structure.forces(sp, state.h[grp.tgt_idx],
+                          state.mass[grp.tgt_idx], cfg, st, sorted_io=True)
+    for f in (bf.rho, bf.grad_p, bf.phi, bf.grad_phi):
+        assert not bool(jnp.any(jnp.isnan(f)))
+    out, info = planet.run_info(state, cfg, 8)
+    assert not bool(jnp.any(jnp.isnan(out.vel)))
+    assert float(jnp.max(out.rho)) > 1e-6
