@@ -55,6 +55,12 @@ def build_cfg(args, settle: bool, widen: float = 1.0):
     if settle:
         kw.update(vel_damping=args.damp,
                   av_alpha=args.av, av_beta=2.0 * args.av)
+    for item in (args.set or []):
+        k, v = item.split("=")
+        fld = type(getattr(psph.jupiter_100k(), k))
+        kw[k] = fld(v)
+        if k in ("sph_exact_window", "blk_window") and widen > 1.0:
+            kw[k] = r16(kw[k])      # r16 applies the widen factor itself
     return psph.jupiter_100k(**kw)
 
 
@@ -81,6 +87,10 @@ def main():
                     help="settle-phase velocity damping rate")
     ap.add_argument("--av", type=float, default=0.5,
                     help="settle-phase Monaghan AV alpha (beta=2*alpha)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra jupiter_100k override k=v (repeatable); "
+                         "sph_exact_window/blk_window also scale with the "
+                         "overflow-retry widen factor")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
