@@ -163,6 +163,11 @@ class SimConfig:
     # (dense block scan, the round-1 behavior).
     sg_blocks: int = 0
     blk_window: int = 192          # block-monopole window (sg tier only)
+    # Pad per-entry gather table rows to this many floats (0 = off).
+    # Tiny rows (<=16 B: ring/blk moment entries, single-column exact-list
+    # extras) gather at a pathological ~30-150 M rows/s on this TPU while
+    # >=128 B rows stream at HBM rate — 32 trades bytes for row rate.
+    gather_pad_rows: int = 0
     kernel_gb: int = 1             # target groups batched per Pallas grid
                                    # step (in-kernel fori + dynamic slices
                                    # instead of grid steps). MEASURED SLOWER

@@ -427,6 +427,41 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     return Carry(new_state, tick + 1, st)
 
 
+def _permute_state(state: ParticleState, idx):
+    """Reorder every state leaf by `idx` via ONE padded packed row gather.
+
+    13 per-leaf element gathers (4 B elements) run in the slow tiny-row
+    gather class on this TPU (docs/ROUND2.md gotcha 6); packing the whole
+    state into one [N, 32] row (128 B) pays a single fast gather. Int
+    counters round-trip through the float dtype (values far below 2^24,
+    same contract as ops.structure._unsort)."""
+    import dataclasses
+    fields = [f.name for f in dataclasses.fields(state)]
+    cols, spans, dtypes = [], [], []
+    fdt = state.pos.dtype
+    for name in fields:
+        v = getattr(state, name)
+        dtypes.append(v.dtype)
+        if v.ndim == 1:
+            cols.append(v.astype(fdt)[:, None])
+            spans.append(1)
+        else:
+            cols.append(v.astype(fdt))
+            spans.append(v.shape[1])
+    packed = jnp.concatenate(cols, axis=1)
+    width = packed.shape[1]
+    pad = -width % 32                       # 128 B rows at f32
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+    gat = packed[idx]
+    out, off = {}, 0
+    for name, s, dt in zip(fields, spans, dtypes):
+        v = gat[:, off:off + s]
+        out[name] = (v[:, 0] if s == 1 else v).astype(dt)
+        off += s
+    return ParticleState(**out)
+
+
 def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
                      groups=None, return_groups=False):
     """Rebuild structures once, then advance k fixed-structure steps.
@@ -461,7 +496,7 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
         # 13-field sort gather here, one unsort gather at the end, zero
         # per-step layout moves (cfg.sorted_chunks)
         grp = st.groups
-        run_state = jax.tree.map(lambda x: x[grp.tgt_idx], state)
+        run_state = _permute_state(state, grp.tgt_idx)
         forces_fn = lambda p, hh, m, vel=None: _forces_block(
             p, hh, m, cfg, st, vel=vel, solve_h=False, sorted_io=True)
     else:
@@ -486,7 +521,7 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
 
     out, _ = jax.lax.scan(body, run_state, None, length=k)
     if sorted_chunk:
-        out = jax.tree.map(lambda x: x[grp.unsort_idx], out)
+        out = _permute_state(out, grp.unsort_idx)
     if return_groups:
         grps = st.groups if _uses_block_cache(cfg) else None
         return out, info, grps

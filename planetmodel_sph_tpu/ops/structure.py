@@ -531,7 +531,8 @@ def _sph_rows(cols, st: BlockStructure, cfg: SimConfig, nb):
     (exact candidate lists; measured 2.9ms for [2067,512]x6 fields —
     tools/micro_gather.py)."""
     if cfg.sph_exact_window > 0:
-        return _entry_gather(cols, st.sph_idx, cfg.block_chunk)
+        return _entry_gather(cols, st.sph_idx, cfg.block_chunk,
+                             pad_rows=cfg.gather_pad_rows)
     sub = cfg.nbr_sub
     return _window_gather(cols, st.sph_idx,
                           nb * (cfg.nbr_group_size // sub), sub,
@@ -573,17 +574,22 @@ def _density_sweep(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
     return jnp.maximum(rho_c[:, 0], 1e-30), nn_c[:, 0] - 1, None
 
 
-def _entry_gather(cols, idx, chunk):
+def _entry_gather(cols, idx, chunk, pad_rows=0):
     """Per-entry (one value per window slot) gathers, padded to chunk.
 
     One packed [N, c] row gather — c separate element-gathers through the
     same index cost 4x more on this TPU (12.3ms vs ~3ms per step at 100k,
-    xplane trace)."""
+    xplane trace). `pad_rows`: zero-pad the packed table rows to this many
+    floats before gathering — tiny rows (<=16 B) gather at a pathological
+    ~30-150 M rows/s while >=128 B rows stream at HBM rate (ROUND2.md
+    gotcha 6); trading bytes for row rate can win by several ms/step."""
     g, w = idx.shape
     c = len(cols)
     packed = jnp.stack(cols, axis=-1)                   # [N, c] (tiny)
+    if pad_rows > c:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_rows - c)))
     safe = jnp.clip(idx, 0, cols[0].shape[0] - 1)
-    gat = packed[safe]                                  # [G, W, c]
+    gat = packed[safe]                                  # [G, W, c(+pad)]
     pad = _nbpad(w, chunk) - w
     return [jnp.pad(gat[:, :, k], ((0, 0), (0, pad))) for k in range(c)]
 
@@ -633,7 +639,8 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
             axis=1) * inv
         far = (sgm, wsum(cmx), wsum(cmy), wsum(cmz))
         nfar = nsg
-        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx, chunk)
+        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx,
+                                 chunk, pad_rows=cfg.gather_pad_rows)
         nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
     else:
         far = (bmass, cmx, cmy, cmz)
@@ -642,7 +649,8 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
 
     # ring tier: windowed sub-block monopoles (current moments).
     smass, scx, scy, scz = moments(nsub, sub)
-    ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx, chunk)
+    ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx,
+                              chunk, pad_rows=cfg.gather_pad_rows)
     nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
 
     # near tier: particle-particle over sub-block windows. The kernel

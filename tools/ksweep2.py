@@ -109,6 +109,11 @@ VARIANTS = {
     "xwk16t08sg4": dict(rebuild_every=16, sort_every=64,
                         sph_exact_window=512, theta=0.8, p2p_window=176,
                         m2p_window=160, sg_blocks=4, blk_window=768),
+    # pad tiny gather-table rows to 128 B (ROUND2.md gotcha 6)
+    "xwk16gp": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                    gather_pad_rows=32),
+    "xw640gp": dict(rebuild_every=16, sort_every=64, sph_exact_window=640,
+                    gather_pad_rows=32),
 }
 
 
