@@ -170,10 +170,14 @@ def cmd_run(args) -> int:
         checkpoint.save(args.checkpoint, state, cfg, start_step + total)
         _log(f"checkpoint -> {args.checkpoint}")
     if args.render:
+        blocks = cfg if (args.render_blocks
+                         and cfg.neighbor_mode == "grid") else None
+        if args.render_blocks and blocks is None:
+            _log("--render-blocks needs the grid pipeline; overlay skipped")
         out = render.render_png(state, args.render,
                                 color_by=args.render_color_by,
                                 quiver=args.render_quiver,
-                                extent=args.render_extent)
+                                extent=args.render_extent, blocks=blocks)
         _log(f"render -> {out}")
     for key in ("nbr_overflow", "tree_overflow"):
         if key in diags and float(jax.numpy.sum(diags[key])) > 0:
@@ -280,6 +284,9 @@ def main(argv=None) -> int:
     pr.add_argument("--render-extent", type=float, default=None,
                     help="fixed half-width of the view (stable framing "
                          "across animation frames)")
+    pr.add_argument("--render-blocks", action="store_true",
+                    help="overlay Morton-block AABB wireframes (the "
+                         "DisplayBroadphaseSystem debug-draw analog)")
     pr.add_argument("--animate", default=None, metavar="GIF",
                     help="assemble --render-every frames into a GIF after "
                          "the run (the live-viewport stand-in)")

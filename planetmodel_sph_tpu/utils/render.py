@@ -26,12 +26,15 @@ def _stable_colors(n: int, seed: int = 0):
 
 def render_png(state, path: str, axis=(0, 1), extent: float | None = None,
                color_by: str = "rho", quiver: bool = False,
-               quiver_max: int = 400) -> str:
+               quiver_max: int = 400, blocks=None) -> str:
     """Render one frame.
 
     color_by: any scalar/vector ParticleState field name (vectors use
     their norm), or 'id' for stable per-particle random colors.
     quiver: overlay velocity arrows on a subsample of particles.
+    blocks: optional SimConfig — overlay the Morton-block AABB wireframes
+    of the current neighbor structure (the debug-draw analog of the
+    vendored ``DisplayBroadphaseSystem``, which draws broadphase AABBs).
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -64,6 +67,27 @@ def render_png(state, path: str, axis=(0, 1), extent: float | None = None,
         ax.quiver(pos[::stride, a0], pos[::stride, a1],
                   vel[::stride, a0], vel[::stride, a1],
                   color="#60c0ff", width=2e-3, alpha=0.8)
+
+    if blocks is not None:
+        from matplotlib.patches import Rectangle
+        from ..ops import structure
+        import jax
+
+        st = jax.jit(lambda p, hh, m: structure.build(p, hh, m, blocks))(
+            state.pos, state.h, state.mass)
+        grp = st.groups
+        g = grp.live.shape[0]
+        p_b = np.asarray(state.pos)[np.asarray(grp.tgt_idx)].reshape(
+            g, -1, 3)
+        live = np.asarray(grp.live)
+        for gi in range(g):
+            if not live[gi].any():
+                continue
+            pts = p_b[gi][live[gi]][:, [a0, a1]]
+            lo, hi = pts.min(axis=0), pts.max(axis=0)
+            ax.add_patch(Rectangle(lo, *(hi - lo), fill=False,
+                                   edgecolor="#40ff90", linewidth=0.5,
+                                   alpha=0.55))
 
     ax.set_xlim(-extent, extent)
     ax.set_ylim(-extent, extent)
