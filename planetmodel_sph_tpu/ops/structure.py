@@ -178,7 +178,7 @@ def _block_stats(pos_b, h_b, m_b, live):
 def build(pos, h, mass, cfg: SimConfig, skin=0.0,
           src=None, target_offset: int = 0,
           h_margin: float = 0.0, groups=None,
-          sph_only: bool = False) -> BlockStructure:
+          sph_only: bool = False, skin_src=None) -> BlockStructure:
     """Build windows + MAC mask for the current positions/smoothing lengths.
 
     `skin`: Verlet margin — a PER-PARTICLE motion bound [N] (original
@@ -241,7 +241,12 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
         skin_s = jnp.broadcast_to(skin, (pos_s.shape[0],))
     else:
         skin_t = skin
-        skin_s = skin if single else jnp.zeros((pos_s.shape[0],), pos.dtype)
+        if single:
+            skin_s = skin
+        elif skin_src is not None:
+            skin_s = skin_src           # dp cached: all-gathered source skins
+        else:
+            skin_s = jnp.zeros((pos_s.shape[0],), pos.dtype)
 
     # target-block AABBs + max h (duplicate slots replicate real members, so
     # plain min/max give the true bbox)

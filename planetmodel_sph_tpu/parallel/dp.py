@@ -138,14 +138,9 @@ def make_step(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
 def make_run(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     """Jitted n-step scan of the sharded step (n_steps static)."""
 
-    def local_run(state, n_steps):
-        def body(s, _):
-            return planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis)), None
-        out, _ = jax.lax.scan(body, state, None, length=n_steps)
-        return out
-
     def run(state, n_steps):
-        f = shard_map(partial(local_run, n_steps=n_steps), mesh=mesh,
+        f = shard_map(partial(local_run_steps, cfg=cfg, axis=axis,
+                              n_steps=n_steps), mesh=mesh,
                       in_specs=P(axis), out_specs=P(axis), check_vma=False)
         return f(state)
 
@@ -162,14 +157,20 @@ def make_run_diag(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     from ..utils import diagnostics
 
     def run(state, n_chunks, chunk):
-        inner = shard_map(partial(local_run_steps, cfg=cfg, axis=axis,
+        zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+                "tree_overflow": jnp.asarray(0, jnp.int32)}
+        inner = shard_map(partial(local_run_steps_info, cfg=cfg, axis=axis,
                                   n_steps=chunk), mesh=mesh,
-                          in_specs=P(axis), out_specs=P(axis),
+                          in_specs=P(axis),
+                          out_specs=(P(axis), jax.tree.map(lambda _: P(),
+                                                           zero)),
                           check_vma=False)
 
         def outer(s, _):
-            s = inner(s)
-            return s, diagnostics.measure(s, cfg)
+            s, info = inner(s)
+            d = diagnostics.measure(s, cfg)
+            d.update(info)
+            return s, d
 
         return jax.lax.scan(outer, state, None, length=n_chunks)
 
@@ -177,10 +178,117 @@ def make_run_diag(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
 
 
 def local_run_steps(state, *, cfg, axis, n_steps):
+    if cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid":
+        return _local_run_cached(state, cfg=cfg, axis=axis,
+                                 n_steps=n_steps)[0]
+
     def body(s, _):
         return planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis)), None
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out
+
+
+def local_run_steps_info(state, *, cfg, axis, n_steps):
+    """(state, overflow info) — info is psum'd over the mesh axis so the
+    'dropped AND counted, never silent' contract holds on the dp cached
+    path too. The per-step (rebuild_every==1) dp path rebuilds inside the
+    forces closure where counters are unreachable; it reports zeros."""
+    zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32)}
+    if cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid":
+        out, info = _local_run_cached(state, cfg=cfg, axis=axis,
+                                      n_steps=n_steps)
+        info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
+        return out, info
+    return local_run_steps(state, cfg=cfg, axis=axis,
+                           n_steps=n_steps), zero
+
+
+def _forces_frozen(cfg: SimConfig, axis: str, st):
+    """Grid-mode dp forces against a FROZEN structure (Verlet caching:
+    sources are re-gathered and re-sorted by the frozen grouping every
+    step; only the windows/MAC split stay fixed, exactly like the
+    single-chip cached path)."""
+    from ..ops import structure
+
+    def forces(pos, h, mass, vel=None):
+        local_n = pos.shape[0]
+        off = jax.lax.axis_index(axis) * local_n
+        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        av = cfg.av_alpha > 0.0
+        src = (gather(pos), gather(h), gather(mass)) \
+            + ((gather(vel),) if av and vel is not None else ())
+        bf = structure.forces(pos, h, mass, cfg, st,
+                              vel=vel if av else None, src=src,
+                              target_offset=off, gather_fn=gather)
+        accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
+        return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
+                             bf.grad_phi, bf.n_neighbors, bf.n_direct,
+                             bf.n_approx, accel, h)
+
+    return forces
+
+
+def _local_run_cached(state, *, cfg, axis, n_steps):
+    """Verlet-cached dp span: rebuild windows every cfg.rebuild_every
+    steps (h update + skinned structure over all-gathered sources), run
+    the steps in between against the frozen structure — the dp analog of
+    planet.run_chunk_cached. Source motion is covered by all-gathering
+    the per-particle skins into the build (skin_src)."""
+    from ..ops import structure
+
+    k = max(1, cfg.rebuild_every)
+    n_chunks, rem = divmod(n_steps, k)
+
+    def run_chunk(s, kk):
+        local_n = s.pos.shape[0]
+        off = jax.lax.axis_index(axis) * local_n
+        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        if cfg.adaptive_h:
+            if cfg.h_mode == "newton" and cfg.grad_p_mode == "grad_h":
+                src3 = (gather(s.pos), gather(s.h), gather(s.mass))
+                h = structure.solve_h_newton(s.pos, s.h, s.mass, cfg,
+                                             planet.h_eta(cfg), src=src3,
+                                             target_offset=off)
+            else:
+                h = planet.update_h(s.h, s.n_neighbors, cfg)
+            s = s.replace(h=h)
+        skin = planet._skin(cfg, s.vel, s.accel)
+        skin = jnp.broadcast_to(jnp.asarray(skin, s.pos.dtype),
+                                (local_n,))
+        src3 = (gather(s.pos), gather(s.h), gather(s.mass))
+        st = structure.build(s.pos, s.h, s.mass, cfg, skin=skin,
+                             src=src3, target_offset=off,
+                             skin_src=gather(skin))
+        forces_fn = _forces_frozen(cfg, axis, st)
+        if cfg.integrator == "staggered_euler":
+            one = lambda s2: planet.step_staggered(s2, cfg, forces_fn,
+                                                   update_smoothing=False)
+        else:
+            one = lambda s2: planet.step_kdk(s2, cfg, forces_fn,
+                                             update_smoothing=False)
+
+        def body(s2, _):
+            return one(s2), None
+
+        out, _ = jax.lax.scan(body, s, None, length=kk)
+        return out, structure.overflow_info(st)
+
+    add = lambda a, b: jax.tree.map(jnp.add, a, b)
+    info = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32)}
+    out = state
+    if n_chunks:
+        def outer(carry, _):
+            s, acc = carry
+            s, i = run_chunk(s, k)
+            return (s, add(acc, i)), None
+        (out, info), _ = jax.lax.scan(outer, (out, info), None,
+                                      length=n_chunks)
+    if rem:
+        out, i = run_chunk(out, rem)
+        info = add(info, i)
+    return out, info
 
 
 def make_prime(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
