@@ -163,6 +163,11 @@ class SimConfig:
     # (dense block scan, the round-1 behavior).
     sg_blocks: int = 0
     blk_window: int = 192          # block-monopole window (sg tier only)
+    # Multipole order of the far-field tiers (1 = monopole — the
+    # reference's GravityFieldSystem uses monopole-only moments; 2 adds
+    # traceless quadrupoles to every monopole tier, cutting the MAC error
+    # ~5-10x at equal theta so theta can rise and shrink the P2P tier).
+    multipole_order: int = 1
     # Pad per-entry gather table rows to this many floats (0 = off).
     # Tiny rows (<=16 B: ring/blk moment entries, single-column exact-list
     # extras) gather at a pathological ~30-150 M rows/s on this TPU while

@@ -623,15 +623,17 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
 # ---------------------------------------------------------------------------
 
 def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
-                          has_blk):
+                          has_blk, nm):
+    # nm: moment fields per tier entry — 4 (m,cx,cy,cz) monopole, 10
+    # (+Qxx,Qxy,Qxz,Qyy,Qyz,Qzz traceless quadrupole)
     it = iter(args)
     nvp_ref, nvr_ref = next(it), next(it)
     nvb_ref = next(it) if has_blk else None
     tx, ty, tz, tih = (next(it) for _ in range(4))
     prows = [next(it) for _ in range(4 if receiver_soft else 5)]
-    rrows = [next(it) for _ in range(4)]          # ring: m, cx, cy, cz
-    brows = [next(it) for _ in range(4)] if has_blk else None
-    frows = [next(it) for _ in range(4)]          # far:  m, cx, cy, cz (2-D)
+    rrows = [next(it) for _ in range(nm)]         # ring moments
+    brows = [next(it) for _ in range(nm)] if has_blk else None
+    frows = [next(it) for _ in range(nm)]         # far moments (2-D)
     acc_r = next(it)                              # accept [1, 1, NBpad]
     phi_ref, gx_ref, gy_ref, gz_ref, nd_ref, na_ref = (next(it)
                                                        for _ in range(6))
@@ -684,7 +686,7 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
         a_cnt[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
 
     def mono_body(tiles, valid):
-        cm_, cx, cy, cz = tiles
+        cm_, cx, cy, cz = tiles[:4]
         m_eff = jnp.where(valid & (cm_ > 0.0), cm_, 0.0)
         dxx = txv - cx
         dxy = tyv - cy
@@ -697,10 +699,35 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
             m_eff, inv_r = bf(m_eff), bf(inv_r)
         mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
         f32 = (lambda v: v.astype(jnp.float32)) if bf16 else (lambda v: v)
-        a_phi[:] += f32(-m_eff * inv_r)
-        a_gx[:] += f32(dxx * mag)
-        a_gy[:] += f32(dxy * mag)
-        a_gz[:] += f32(dxz * mag)
+        phi_c = -m_eff * inv_r
+        gx_c = dxx * mag
+        gy_c = dxy * mag
+        gz_c = dxz * mag
+        if nm == 10:
+            # traceless quadrupole (f32 regardless of bf16 — the Q terms
+            # are small corrections where cancellation matters):
+            #   Phi_q = -(d^T Q d) / (2 r^5)
+            #   grad Phi_q = -(Q d)/r^5 + (5/2)(d^T Q d) d / r^7
+            qxx, qxy, qxz, qyy, qyz, qzz = tiles[4:10]
+            live = jnp.where(valid & (cm_ > 0.0), 1.0, 0.0)
+            qdx = qxx * dxx + qxy * dxy + qxz * dxz
+            qdy = qxy * dxx + qyy * dxy + qyz * dxz
+            qdz = qxz * dxx + qyz * dxy + qzz * dxz
+            dqd = dxx * qdx + dxy * qdy + dxz * qdz
+            ir2 = inv_r * inv_r
+            # live multiplies FIRST: masked entries can sit at r ~ 0 where
+            # ir2*ir2 overflows to inf and inf*0 = NaN (live entries are
+            # MAC-separated, their powers stay finite)
+            ir5 = live * ir2 * ir2 * inv_r
+            ir7dqd = 2.5 * dqd * ir5 * ir2
+            phi_c = phi_c - 0.5 * dqd * ir5
+            gx_c = gx_c - qdx * ir5 + dxx * ir7dqd
+            gy_c = gy_c - qdy * ir5 + dxy * ir7dqd
+            gz_c = gz_c - qdz * ir5 + dxz * ir7dqd
+        a_phi[:] += f32(phi_c)
+        a_gx[:] += f32(gx_c)
+        a_gy[:] += f32(gy_c)
+        a_gz[:] += f32(gz_c)
         a_cnt[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
 
     # near tier first: its count reduces to n_direct, then the counter is
@@ -713,8 +740,9 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
         _sweep(nvb_ref[pid], 0, brows, chunk, mono_body)
 
     def far_body(tiles, valid):
-        cm_, cx, cy, cz, cacc = tiles
-        mono_body((jnp.where(cacc > 0.5, cm_, 0.0), cx, cy, cz), valid)
+        cacc = tiles[nm]
+        mono_body([jnp.where(cacc > 0.5, tiles[0], 0.0)] + tiles[1:nm],
+                  valid)
 
     nbpad = frows[0].shape[-1]
     _sweep(jnp.asarray(nbpad, jnp.int32), 0, frows + [acc_r], chunk,
@@ -734,13 +762,15 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
     and XLA tier-summing paid once instead of three-to-four times).
 
     tgt cols: x,y,z,ih. p2p_rows: x,y,z,(ih,)m windows [G, Sp]. ring_rows:
-    mass,cmx,cmy,cmz windows [G, Sr]. far_rows: mass,cmx,cmy,cmz summaries
-    [1, NBpad] (broadcast). accept: [G, NBpad] f32 frozen MAC mask.
-    nv_blk/blk_rows: optional 4th tier — block-monopole ring windows of
-    the supergroup partition (same layout as ring_rows).
+    moment windows [G, Sr] — 4 fields (mass,cmx,cmy,cmz) monopole or 10
+    (+ traceless quadrupole Qxx,Qxy,Qxz,Qyy,Qyz,Qzz). far_rows: moment
+    summaries [1, NBpad] (broadcast). accept: [G, NBpad] f32 frozen MAC
+    mask. nv_blk/blk_rows: optional 4th tier — block-monopole ring
+    windows of the supergroup partition (same layout as ring_rows).
     Returns (phi, gx, gy, gz, n_direct, n_approx); the p2p self term is
     INCLUDED (see :func:`p2p`)."""
     has_blk = blk_rows is not None
+    nm = len(ring_rows)
     sp = p2p_rows[0].shape[1]
     sr = ring_rows[0].shape[1]
     nbpad = far_rows[0].shape[1]
@@ -758,20 +788,20 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
            [jax.ShapeDtypeStruct((g_total * b, 1), jnp.int32)] * 2
     kern = functools.partial(_gravity_fused_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const,
-                             bf16=bf16, has_blk=has_blk)
+                             bf16=bf16, has_blk=has_blk, nm=nm)
     smem, blk_specs, blk_args = [nv_p2p, nv_ring], [], []
     if has_blk:
         sb = blk_rows[0].shape[1]
         rowb = pl.BlockSpec((1, 1, sb), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
         smem.append(nv_blk)
-        blk_specs = [rowb] * 4
+        blk_specs = [rowb] * nm
         blk_args = [r[:, None, :] for r in blk_rows]
     return pl.pallas_call(
         kern,
         grid=(g_total,),
         in_specs=[_SCL] * len(smem) + [col] * 4 + [rowp] * len(p2p_rows)
-        + [rowr] * 4 + blk_specs + [rowf] * 4 + [rowa],
+        + [rowr] * nm + blk_specs + [rowf] * nm + [rowa],
         out_specs=[col] * 6,
         out_shape=outs,
         scratch_shapes=[pltpu.VMEM((b, chunk), jnp.float32)

@@ -611,50 +611,81 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     nsub = nb * (bsz // sub)
     sgrp = st.src_groups if not ctx.single else st.groups
 
+    quad = cfg.multipole_order >= 2
+
     def moments(n_units, usz):
         live2 = sgrp.live.reshape(n_units, usz)
         m_live = jnp.where(live2, s["m"].reshape(n_units, usz), 0.0)
         um = jnp.sum(m_live, axis=1)                    # current moments
         inv = 1.0 / jnp.maximum(um, 1e-30)
-        cx = jnp.sum(m_live * s["x"].reshape(n_units, usz), axis=1) * inv
-        cy = jnp.sum(m_live * s["y"].reshape(n_units, usz), axis=1) * inv
-        cz = jnp.sum(m_live * s["z"].reshape(n_units, usz), axis=1) * inv
-        return um, cx, cy, cz
+        xs = s["x"].reshape(n_units, usz)
+        ys = s["y"].reshape(n_units, usz)
+        zs = s["z"].reshape(n_units, usz)
+        cx = jnp.sum(m_live * xs, axis=1) * inv
+        cy = jnp.sum(m_live * ys, axis=1) * inv
+        cz = jnp.sum(m_live * zs, axis=1) * inv
+        out = [um, cx, cy, cz]
+        if quad:
+            # traceless quadrupole Q_ab = sum m (3 x_a x_b - |x|^2 d_ab)
+            # about the unit's own CM (GravityFieldSystem is monopole-only
+            # — GenerateMomentsSTJob:489-522; this is the parity-plus tier)
+            dx = xs - cx[:, None]
+            dy = ys - cy[:, None]
+            dz = zs - cz[:, None]
+            r2 = dx * dx + dy * dy + dz * dz
+            q = lambda a, b, diag: jnp.sum(
+                m_live * (3.0 * a * b - (r2 if diag else 0.0)), axis=1)
+            out += [q(dx, dx, True), q(dx, dy, False), q(dx, dz, False),
+                    q(dy, dy, True), q(dy, dz, False), q(dz, dz, True)]
+        return out
 
     bf16 = cfg.grav_pair_dtype == "bfloat16"
     receiver = cfg.softening_mode == "receiver_h"
     self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
 
-    bmass, cmx, cmy, cmz = moments(nb, bsz)
+    bmom = moments(nb, bsz)
+    bmass, cmx, cmy, cmz = bmom[:4]
     npad = st.accept.shape[1]
 
     # ---- ONE fused launch: P2P + ring (+ blk ring) + dense far scan ----
-    # far tier: dense scan over block (or supergroup) monopoles under the
+    # far tier: dense scan over block (or supergroup) moments under the
     # frozen mask; with sg_blocks on, blocks whose supergroup failed the
     # MAC but that pass it themselves come in as windowed blk entries
     nv_blk = blk_rows = None
     if cfg.sg_blocks > 1:
         sgf = cfg.sg_blocks
         nsg = -(-nb // sgf)
-        bm_p = jnp.pad(bmass, (0, nsg * sgf - nb)).reshape(nsg, sgf)
+        padb = nsg * sgf - nb
+        p1 = lambda v: jnp.pad(v, (0, padb)).reshape(nsg, sgf)
+        bm_p = p1(bmass)
         sgm = jnp.sum(bm_p, axis=1)
         inv = 1.0 / jnp.maximum(sgm, 1e-30)
-        wsum = lambda v: jnp.sum(
-            bm_p * jnp.pad(v, (0, nsg * sgf - nb)).reshape(nsg, sgf),
-            axis=1) * inv
-        far = (sgm, wsum(cmx), wsum(cmy), wsum(cmz))
+        wsum = lambda v: jnp.sum(bm_p * p1(v), axis=1) * inv
+        far = [sgm, wsum(cmx), wsum(cmy), wsum(cmz)]
+        if quad:
+            # parallel-axis aggregation: Q_sg = sum_b [Q_b
+            #   + m_b (3 y y^T - |y|^2 I)], y = cm_b - cm_sg
+            yx = p1(cmx) - far[1][:, None]
+            yy = p1(cmy) - far[2][:, None]
+            yz = p1(cmz) - far[3][:, None]
+            y2 = yx * yx + yy * yy + yz * yz
+            pq = lambda qb, a, b2, diag: jnp.sum(
+                p1(qb) + bm_p * (3.0 * a * b2 - (y2 if diag else 0.0)),
+                axis=1)
+            far += [pq(bmom[4], yx, yx, True), pq(bmom[5], yx, yy, False),
+                    pq(bmom[6], yx, yz, False), pq(bmom[7], yy, yy, True),
+                    pq(bmom[8], yy, yz, False), pq(bmom[9], yz, yz, True)]
         nfar = nsg
-        blk_rows = _entry_gather([bmass, cmx, cmy, cmz], st.blk_idx,
+        blk_rows = _entry_gather(bmom, st.blk_idx,
                                  chunk, pad_rows=cfg.gather_pad_rows)
         nv_blk = jnp.minimum(st.n_blk, cfg.blk_window)
     else:
-        far = (bmass, cmx, cmy, cmz)
+        far = bmom
         nfar = nb
     far_rows = [jnp.pad(v, (0, npad - nfar))[None, :] for v in far]
 
-    # ring tier: windowed sub-block monopoles (current moments).
-    smass, scx, scy, scz = moments(nsub, sub)
-    ring_rows = _entry_gather([smass, scx, scy, scz], st.m2p_idx,
+    # ring tier: windowed sub-block moments (current moments).
+    ring_rows = _entry_gather(moments(nsub, sub), st.m2p_idx,
                               chunk, pad_rows=cfg.gather_pad_rows)
     nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
 

@@ -100,6 +100,49 @@ def test_gravity_tree_close_to_direct():
     assert float(phi_err) < 0.02, float(phi_err)
 
 
+def test_quadrupole_beats_monopole():
+    """cfg.multipole_order=2: traceless quadrupoles on every moment tier
+    must cut the far-field error vs the direct oracle several-fold at
+    equal theta (the reference's tree is monopole-only —
+    GravityFieldSystem.cs GenerateMomentsSTJob — so this is parity-plus)."""
+    cfg1 = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
+                nbr_group_level=3, nbr_window=512, p2p_window=512,
+                m2p_window=512)
+    cfg2 = cfg1.replace(multipole_order=2)
+    pos, h, mass = _cloud(cfg1.n, seed=2, radius=30.0)
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(cfg1))
+    scale = jnp.max(jnp.abs(p1.grad_phi))
+    errs = {}
+    for tag, cfg in (("mono", cfg1), ("quad", cfg2)):
+        st = structure.build(pos, h, mass, cfg)
+        bf = structure.forces(pos, h, mass, cfg, st)
+        errs[tag] = float(jnp.max(jnp.abs(bf.grad_phi - p1.grad_phi))
+                          / scale)
+        assert int(jnp.sum(bf.n_approx)) > 0
+    assert errs["quad"] < errs["mono"] / 3.0, errs
+
+
+def test_quadrupole_supergroup_tier():
+    """Quadrupoles through the supergroup partition (parallel-axis
+    aggregation of block quadrupoles) must also beat the monopole sg
+    far field."""
+    base = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
+                nbr_group_level=3, nbr_window=512, p2p_window=512,
+                m2p_window=512, sg_blocks=4, blk_window=256)
+    pos, h, mass = _cloud(base.n, seed=2, radius=30.0)
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(base))
+    scale = jnp.max(jnp.abs(p1.grad_phi))
+    errs = {}
+    for tag, cfg in (("mono", base), ("quad",
+                                      base.replace(multipole_order=2))):
+        st = structure.build(pos, h, mass, cfg)
+        assert int(st.blk_overflow) == 0
+        bf = structure.forces(pos, h, mass, cfg, st)
+        errs[tag] = float(jnp.max(jnp.abs(bf.grad_phi - p1.grad_phi))
+                          / scale)
+    assert errs["quad"] < errs["mono"] / 2.0, errs
+
+
 def test_every_block_counted_once():
     """The three gravity tiers partition the live SUB-blocks per group:
     block-accepted (expanded to subs) + ring monopoles + P2P, disjoint and
