@@ -114,6 +114,13 @@ VARIANTS = {
                     gather_pad_rows=32),
     "xw640gp": dict(rebuild_every=16, sort_every=64, sph_exact_window=640,
                     gather_pad_rows=32),
+    # quadrupole far field buys theta headroom -> smaller P2P tier
+    "xwq09": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                  multipole_order=2, theta=0.9, p2p_window=144,
+                  m2p_window=144, gather_pad_rows=32),
+    "xwq10": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                  multipole_order=2, theta=1.0, p2p_window=128,
+                  m2p_window=128, gather_pad_rows=32),
 }
 
 
