@@ -19,7 +19,8 @@ timeout 1200 python tools/profile_block.py --only forces,build,hsolve \
 
 # 2. operating-point sweep: fused base, exact lists, supergroup, theta
 timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
-    --var k16 --var xwk16 --var xw640 --var xwk16sg4 --var xwk16t08 \
+    --var k16 --var xwk16 --var xw640 --var xwk16gp --var xwk16sg4 \
+    --var xwk16t08 --var xwq09 --var xwq10 \
     >> $LOG 2>&1
 
 # 3. xplane trace + top-op summary at the settled point (the glue hunt)
