@@ -14,6 +14,7 @@ against the north-star target rate (6M particle-steps/s = 60 steps/s at
 """
 
 import json
+import subprocess
 import sys
 
 from planetmodel_sph_tpu.bench import run_bench
@@ -21,7 +22,31 @@ from planetmodel_sph_tpu.bench import run_bench
 NORTH_STAR_PARTICLE_STEPS_PER_SEC = 100_000 * 60.0
 
 
+def _probe_device(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the relay-backed chip
+    is unreachable — observed multi-hour outages mid-round. The probe
+    runs in a SUBPROCESS because the hang sits inside a C call holding
+    the GIL, where in-process SIGALRM handlers never run."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp;"
+         "print(float(jnp.sum(jnp.ones((128,128)))), "
+         "jax.devices()[0].platform)"],
+        timeout=timeout_s, capture_output=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"probe rc={r.returncode}: "
+                           f"{r.stderr.decode()[-200:]}")
+
+
 def main() -> int:
+    try:
+        _probe_device()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "particle_steps_per_sec", "value": 0.0,
+                          "unit": "particle-steps/s", "vs_baseline": 0.0,
+                          "error": f"device unreachable: {e}"[:300]}),
+              flush=True)
+        return 1
     result = run_bench(n=3000, steps=200)
     print(json.dumps(result), flush=True)
 
