@@ -60,13 +60,16 @@ def test_dp_multistep_runs(cfg):
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
-def test_dp_tree_gravity_matches_single_chip():
+@pytest.mark.parametrize("order", [1, 2])
+def test_dp_tree_gravity_matches_single_chip(order):
     # large enough that some blocks pass the MAC (n_approx > 0): 64 source
-    # blocks over a wide cloud
+    # blocks over a wide cloud; order=2 covers quadrupole moments under
+    # sharded targets / gathered sources
     cfg = psph.default(n=2048, radius=40.0, particle_radius=3.0,
                        block_n=128, gravity_solver="tree",
                        nbr_group_size=32, nbr_group_level=3, nbr_window=320,
-                       p2p_window=320, m2p_window=320)
+                       p2p_window=320, m2p_window=320,
+                       multipole_order=order)
     st = planet.prime(ics.jupiter(cfg), cfg)
     ref = planet.step(st, cfg)
     mesh = mesh_mod.make_mesh(8)
