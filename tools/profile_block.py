@@ -251,6 +251,19 @@ def main():
             return out
         timed("m2p kernel", m2p_k, (tgtm, summ, st.accept), k=args.k)
 
+    if on("gravity"):
+        def grav_k(p, hh, m, st_, k_):
+            def body(c, _):
+                ctx2 = structure._prep_ctx(c, hh, m, cfg, st_)
+                ctx2 = ctx2._replace(nb=nb, g=int(ctx.g))
+                phi, gphi, ndc, nac = structure._gravity_sweeps(ctx2, cfg,
+                                                                st_)
+                return c + 1e-12 * jnp.sum(phi), None
+            out, _ = jax.lax.scan(body, p, None, length=k_)
+            return out
+        timed("gravity fused (all tiers + prep)", grav_k,
+              (pos, h, mass, st), k=args.k)
+
     if on("unsort"):
         def unsort_k(a, b, nn, st_, k_):
             def body(c, _):

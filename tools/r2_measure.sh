@@ -14,7 +14,7 @@ print('probe', float(jnp.sum(jnp.ones((256,256)) @ jnp.ones((256,256)))))
 " >> $LOG 2>&1 || { echo "TPU DOWN" >> $LOG; exit 1; }
 
 # 1. component profile at the settled operating point (k=32, honest)
-timeout 1200 python tools/profile_block.py --only forces,build,hsolve \
+timeout 1200 python tools/profile_block.py --only forces,build,hsolve,gravity,pass1,pass2 \
     --k 32 --ck docs/results/drift100k/state.psph --gradh >> $LOG 2>&1
 
 # 2. operating-point sweep: fused base, exact lists, supergroup, theta
