@@ -29,4 +29,10 @@ timeout 1800 python tools/trace_run.py --steps 16 >> $LOG 2>&1
 # 4. entry-gather row-size curve (ring/blk moment gathers)
 timeout 900 python tools/micro_gather.py >> $LOG 2>&1
 
+# 5. roofline: primitive ceilings + modeled floor vs measured at settled
+timeout 1800 python tools/roofline.py --json /tmp/roofline.json >> $LOG 2>&1
+
+# 6. driver-style bench sanity
+timeout 1800 python bench.py >> $LOG 2>&1
+
 echo "=== battery done $(date) ===" >> $LOG
