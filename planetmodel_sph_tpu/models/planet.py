@@ -484,7 +484,7 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
             from ..ops import structure
             state = state.replace(h=structure.solve_h_newton(
                 state.pos, state.h, state.mass, cfg, h_eta(cfg),
-                groups=groups))
+                groups=groups, rho0=state.rho))
         else:
             state = state.replace(h=update_h(state.h, state.n_neighbors,
                                              cfg))

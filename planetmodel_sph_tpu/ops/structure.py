@@ -860,7 +860,7 @@ def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
 
 
 def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
-                   src=None, target_offset=0, groups=None):
+                   src=None, target_offset=0, groups=None, rho0=None):
     """Fixed-point solve of h = eta (m/rho(h))^(1/3) on the block pipeline.
 
     Builds a throwaway structure whose cutoffs are widened by the clamp
@@ -878,6 +878,15 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     c = cfg.h_newton_clamp
     if cfg.h_max > 0.0:
         h = jnp.minimum(h, cfg.h_max)   # halo cap (see SimConfig.h_max)
+    if rho0 is not None:
+        # warm start from the state's current density (one step stale):
+        # one fixed-point iteration for free BEFORE the throwaway build,
+        # so the build also sees tighter cutoffs. The clamp window stays
+        # anchored at the incoming h — identical guarantees.
+        hw = eta * jnp.cbrt(mass / jnp.maximum(rho0, 1e-30))
+        h = jnp.clip(hw, h / (1.0 + c), h * (1.0 + c))
+        if cfg.h_max > 0.0:
+            h = jnp.minimum(h, cfg.h_max)
     factor = (1.0 + c) ** 3
     scale = lambda w, q: int(-(-int(w * factor) // q) * q)
     wx = 0
@@ -899,7 +908,9 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     h_t = h0
     m_t = ctx.t["m"]
     rows = _sph_rows(_geom(ctx.s), st, cfg, ctx.nb)
-    for _ in range(cfg.h_newton_iters):
+    # the warm start IS one fixed-point iteration: keep the total count
+    iters = max(1, cfg.h_newton_iters - (1 if rho0 is not None else 0))
+    for _ in range(iters):
         ih = 1.0 / jnp.where(h_t > 0, h_t, 1.0)
         rho_t, _, _ = _density_sweep(ctx, cfg, st, t_ih=ih, t_h=h_t,
                                      src1=rows)

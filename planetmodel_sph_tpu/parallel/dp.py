@@ -249,7 +249,7 @@ def _local_run_cached(state, *, cfg, axis, n_steps):
                 src3 = (gather(s.pos), gather(s.h), gather(s.mass))
                 h = structure.solve_h_newton(s.pos, s.h, s.mass, cfg,
                                              planet.h_eta(cfg), src=src3,
-                                             target_offset=off)
+                                             target_offset=off, rho0=s.rho)
             else:
                 h = planet.update_h(s.h, s.n_neighbors, cfg)
             s = s.replace(h=h)
