@@ -24,7 +24,7 @@ reference's per-step broadphase BVH double duty (neighbor pair stream via
 3. Adjacency rows are compacted to fixed windows (overflow counted, never
    silent). Evaluation gathers whole contiguous block rows (2-4 KB) —
    full-bandwidth gathers — and sweeps dense masked [B, CHUNK] pair tiles
-   in Pallas (``ops/pallas/groups.py``).
+   in Pallas (``ops/pallas/groups2.py``).
 
 The structure is rebuilt every ``rebuild_every`` steps with a skin margin
 (the Verlet-list amortization of the reference's per-step AABB + v*dt

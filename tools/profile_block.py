@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from planetmodel_sph_tpu import config as config_mod
 from planetmodel_sph_tpu.models import ics, planet
 from planetmodel_sph_tpu.ops import structure, eos as eos_ops
-from planetmodel_sph_tpu.ops.pallas import groups as gk
 from planetmodel_sph_tpu.ops.pallas import groups2 as gk2
 
 
@@ -232,37 +231,6 @@ def main():
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
             return out
         timed("p2p kernel", p2p_k, (tgtp, p2p_rows, nvp), k=args.k)
-
-    if on("m2p"):
-        from planetmodel_sph_tpu.ops.pallas import groups as gkm
-        nbp = st.accept.shape[1]
-        summ = [jax.random.normal(jax.random.PRNGKey(7 + i), (1, nbp))
-                for i in range(4)]
-        tgtm = structure._cols(t["x"], t["y"], t["z"])
-
-        def m2p_k(tg, sm, acc, k_):
-            def body(c, _):
-                tg2 = [tg[0] + c] + tg[1:]
-                phi, gx, gy, gz, na = gkm.m2p(tg2, sm, acc, b=bsz,
-                                              chunk=chunk, g_const=1.0,
-                                              gb=cfg.kernel_gb)
-                return c + 1e-12 * phi[0, 0], None
-            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=k_)
-            return out
-        timed("m2p kernel", m2p_k, (tgtm, summ, st.accept), k=args.k)
-
-    if on("gravity"):
-        def grav_k(p, hh, m, st_, k_):
-            def body(c, _):
-                ctx2 = structure._prep_ctx(c, hh, m, cfg, st_)
-                ctx2 = ctx2._replace(nb=nb, g=int(ctx.g))
-                phi, gphi, ndc, nac = structure._gravity_sweeps(ctx2, cfg,
-                                                                st_)
-                return c + 1e-12 * jnp.sum(phi), None
-            out, _ = jax.lax.scan(body, p, None, length=k_)
-            return out
-        timed("gravity fused (all tiers + prep)", grav_k,
-              (pos, h, mass, st), k=args.k)
 
     if on("unsort"):
         def unsort_k(a, b, nn, st_, k_):
