@@ -276,6 +276,21 @@ class SimConfig:
         return dataclasses.replace(self, **kw)
 
 
+def parse_override(key: str, value: str):
+    """Coerce a CLI ``k=v`` override to the SimConfig field's type.
+
+    `type(default)(v)` is wrong for bools (bool('0') is True); tools that
+    accept overrides must route through this."""
+    fld = type(getattr(SimConfig(), key))
+    if fld is bool:
+        if value.lower() in ("1", "true", "yes", "on"):
+            return True
+        if value.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"bad bool for {key}: {value!r}")
+    return fld(value)
+
+
 def default(**kw) -> SimConfig:
     """Recommended physically-corrected configuration."""
     return SimConfig(**kw)

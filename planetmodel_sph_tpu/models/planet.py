@@ -428,38 +428,15 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
 
 
 def _permute_state(state: ParticleState, idx):
-    """Reorder every state leaf by `idx` via ONE padded packed row gather.
-
-    13 per-leaf element gathers (4 B elements) run in the slow tiny-row
-    gather class on this TPU (docs/ROUND2.md gotcha 6); packing the whole
-    state into one [N, 32] row (128 B) pays a single fast gather. Int
-    counters round-trip through the float dtype (values far below 2^24,
-    same contract as ops.structure._unsort)."""
+    """Reorder every state leaf by `idx` via ONE padded packed row gather
+    (ops.structure.packed_permute; 13 per-leaf element gathers run in the
+    slow tiny-row gather class — docs/ROUND2.md gotcha 6)."""
     import dataclasses
-    fields = [f.name for f in dataclasses.fields(state)]
-    cols, spans, dtypes = [], [], []
-    fdt = state.pos.dtype
-    for name in fields:
-        v = getattr(state, name)
-        dtypes.append(v.dtype)
-        if v.ndim == 1:
-            cols.append(v.astype(fdt)[:, None])
-            spans.append(1)
-        else:
-            cols.append(v.astype(fdt))
-            spans.append(v.shape[1])
-    packed = jnp.concatenate(cols, axis=1)
-    width = packed.shape[1]
-    pad = -width % 32                       # 128 B rows at f32
-    if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, pad)))
-    gat = packed[idx]
-    out, off = {}, 0
-    for name, s, dt in zip(fields, spans, dtypes):
-        v = gat[:, off:off + s]
-        out[name] = (v[:, 0] if s == 1 else v).astype(dt)
-        off += s
-    return ParticleState(**out)
+    from ..ops.structure import packed_permute
+    names = [f.name for f in dataclasses.fields(state)]
+    vals = packed_permute([getattr(state, n) for n in names], idx,
+                          pad_to=32)
+    return ParticleState(**dict(zip(names, vals)))
 
 
 def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,

@@ -663,18 +663,22 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
         x = (r2 * inv_r) * inv_a
         near = x < 1.0
         if bf16:
+            # compares and the counter stay f32 (v5e Mosaic has no bf16
+            # compare); only the pair polynomial drops precision
             bf = lambda v: v.astype(jnp.bfloat16)
             dxx, dxy, dxz = bf(dxx), bf(dxy), bf(dxz)
-            x, m_eff = bf(x), bf(m_eff)
+            x, mb = bf(x), bf(m_eff)
             inv_a = jnp.broadcast_to(bf(inv_a), dxx.shape)
             inv_r = bf(inv_r)
+        else:
+            mb = m_eff
         x2 = x * x
         x3 = x2 * x
         inv_a3 = inv_a * inv_a * inv_a
-        inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
-        inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
-                                        - 0.4 * x2 * x3)
-        mr = m_eff * inv_r
+        inner_mag = (mb * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+        inner_phi = -(mb * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
+                                     - 0.4 * x2 * x3)
+        mr = mb * inv_r
         outer_mag = mr * inv_r * inv_r
         mag = jnp.where(near, inner_mag, outer_mag)
         phi = jnp.where(near, inner_phi, -mr)
@@ -693,41 +697,47 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
         dxz = tzv - cz
         r2 = dxx * dxx + dxy * dxy + dxz * dxz
         inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        # f32 copies survive the bf16 cast: the counter compare (no bf16
+        # compare on v5e Mosaic) and the cancellation-sensitive quad terms
+        dx_f, dy_f, dz_f, ir_f = dxx, dxy, dxz, inv_r
         if bf16:
             bf = lambda v: v.astype(jnp.bfloat16)
             dxx, dxy, dxz = bf(dxx), bf(dxy), bf(dxz)
-            m_eff, inv_r = bf(m_eff), bf(inv_r)
-        mag = m_eff * inv_r * inv_r * inv_r      # unsoftened monopole
+            mb, inv_r = bf(m_eff), bf(inv_r)
+        else:
+            mb = m_eff
+        mag = mb * inv_r * inv_r * inv_r         # unsoftened monopole
         f32 = (lambda v: v.astype(jnp.float32)) if bf16 else (lambda v: v)
-        phi_c = -m_eff * inv_r
-        gx_c = dxx * mag
-        gy_c = dxy * mag
-        gz_c = dxz * mag
+        phi_c = f32(-mb * inv_r)
+        gx_c = f32(dxx * mag)
+        gy_c = f32(dxy * mag)
+        gz_c = f32(dxz * mag)
         if nm == 10:
-            # traceless quadrupole (f32 regardless of bf16 — the Q terms
-            # are small corrections where cancellation matters):
+            # traceless quadrupole — always f32 (computed from the
+            # pre-cast separations; the correction is small and
+            # cancellation-sensitive):
             #   Phi_q = -(d^T Q d) / (2 r^5)
             #   grad Phi_q = -(Q d)/r^5 + (5/2)(d^T Q d) d / r^7
             qxx, qxy, qxz, qyy, qyz, qzz = tiles[4:10]
             live = jnp.where(valid & (cm_ > 0.0), 1.0, 0.0)
-            qdx = qxx * dxx + qxy * dxy + qxz * dxz
-            qdy = qxy * dxx + qyy * dxy + qyz * dxz
-            qdz = qxz * dxx + qyz * dxy + qzz * dxz
-            dqd = dxx * qdx + dxy * qdy + dxz * qdz
-            ir2 = inv_r * inv_r
+            qdx = qxx * dx_f + qxy * dy_f + qxz * dz_f
+            qdy = qxy * dx_f + qyy * dy_f + qyz * dz_f
+            qdz = qxz * dx_f + qyz * dy_f + qzz * dz_f
+            dqd = dx_f * qdx + dy_f * qdy + dz_f * qdz
+            ir2 = ir_f * ir_f
             # live multiplies FIRST: masked entries can sit at r ~ 0 where
             # ir2*ir2 overflows to inf and inf*0 = NaN (live entries are
             # MAC-separated, their powers stay finite)
-            ir5 = live * ir2 * ir2 * inv_r
+            ir5 = live * ir2 * ir2 * ir_f
             ir7dqd = 2.5 * dqd * ir5 * ir2
             phi_c = phi_c - 0.5 * dqd * ir5
-            gx_c = gx_c - qdx * ir5 + dxx * ir7dqd
-            gy_c = gy_c - qdy * ir5 + dxy * ir7dqd
-            gz_c = gz_c - qdz * ir5 + dxz * ir7dqd
-        a_phi[:] += f32(phi_c)
-        a_gx[:] += f32(gx_c)
-        a_gy[:] += f32(gy_c)
-        a_gz[:] += f32(gz_c)
+            gx_c = gx_c - qdx * ir5 + dx_f * ir7dqd
+            gy_c = gy_c - qdy * ir5 + dy_f * ir7dqd
+            gz_c = gz_c - qdz * ir5 + dz_f * ir7dqd
+        a_phi[:] += phi_c
+        a_gx[:] += gx_c
+        a_gy[:] += gy_c
+        a_gz[:] += gz_c
         a_cnt[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
 
     # near tier first: its count reduces to n_direct, then the counter is

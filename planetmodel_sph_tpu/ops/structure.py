@@ -86,6 +86,49 @@ def _nbpad(nb: int, chunk: int) -> int:
     return -(-nb // chunk) * chunk
 
 
+def packed_permute(arrays, idx, pad_to=0):
+    """Gather/permute a list of [N] / [N, k] arrays by `idx` (any integer
+    shape) via ONE packed row gather.
+
+    THE repo-wide idiom for reordering multiple fields: per-field element
+    gathers cost ~4x a single packed row gather on this TPU, and tiny
+    (<=16 B) rows gather at a pathological row rate (docs/ROUND2.md
+    gotchas 6) — `pad_to` zero-pads the packed row to that many floats
+    (e.g. 32 = 128 B rows).
+
+    Integer fields round-trip through the float dtype: THE shared
+    contract is values < 2^24 (counts/ids at the supported scales).
+    Returns outputs with shape idx.shape (+ (k,) for 2-D inputs) and the
+    original dtypes.
+    """
+    fdt = None
+    for a in arrays:
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            fdt = a.dtype
+            break
+    fdt = fdt or jnp.float32
+    cols, spans, dtypes = [], [], []
+    for a in arrays:
+        dtypes.append(a.dtype)
+        if a.ndim == 1:
+            cols.append(a.astype(fdt)[:, None])
+            spans.append(0)          # 0 marks "squeeze back to 1-D"
+        else:
+            cols.append(a.astype(fdt))
+            spans.append(a.shape[1])
+    packed = jnp.concatenate(cols, axis=1)
+    if pad_to > packed.shape[1]:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_to - packed.shape[1])))
+    gat = packed[idx]
+    out, off = [], 0
+    for s, dt in zip(spans, dtypes):
+        w = max(s, 1)
+        v = gat[..., off:off + w]
+        out.append((v[..., 0] if s == 0 else v).astype(dt))
+        off += w
+    return out
+
+
 def _compact_rows(adj, w):
     """Compact boolean rows [G, NB] to index windows [G, w] (+counts, drop).
 
@@ -426,11 +469,9 @@ class _Ctx(NamedTuple):
 
 
 def _sort_set(grp, arrs):
-    """Gather a list of [N] fields into the sorted [G*B] layout (one
-    packed [N, c] row gather; per-field element gathers measure ~4x
-    slower on this TPU — xplane trace)."""
-    packed = jnp.stack(arrs, axis=-1)[grp.tgt_idx]
-    return [packed[:, k] for k in range(len(arrs))]
+    """Gather a list of [N] fields into the sorted [G*B] layout (see
+    :func:`packed_permute` for why one packed gather)."""
+    return packed_permute(arrs, grp.tgt_idx)
 
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
@@ -589,14 +630,10 @@ def _entry_gather(cols, idx, chunk, pad_rows=0):
     ~30-150 M rows/s while >=128 B rows stream at HBM rate (ROUND2.md
     gotcha 6); trading bytes for row rate can win by several ms/step."""
     g, w = idx.shape
-    c = len(cols)
-    packed = jnp.stack(cols, axis=-1)                   # [N, c] (tiny)
-    if pad_rows > c:
-        packed = jnp.pad(packed, ((0, 0), (0, pad_rows - c)))
     safe = jnp.clip(idx, 0, cols[0].shape[0] - 1)
-    gat = packed[safe]                                  # [G, W, c(+pad)]
+    gat = packed_permute(cols, safe, pad_to=pad_rows)   # c x [G, W]
     pad = _nbpad(w, chunk) - w
-    return [jnp.pad(gat[:, :, k], ((0, 0), (0, pad))) for k in range(c)]
+    return [jnp.pad(v, ((0, 0), (0, pad))) for v in gat]
 
 
 def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
@@ -711,29 +748,11 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
 def _unsort(st: BlockStructure, fields):
     """Sorted [G*B] fields back to original order, as a list.
 
-    One packed row gather through the grouping's inverse permutation:
-    per-field element gathers cost ~4x more on this TPU, and a packed-
-    column scatter ~10x more (xplane trace / tools/profile_block.py).
+    One packed row gather through the grouping's inverse permutation
+    (:func:`packed_permute`; a packed-column scatter costs ~10x more).
     Vector fields ([G*B, k]) come back as [N, k]; int fields round-trip
-    through f32 (counts are far below 2^24)."""
-    inv = st.groups.unsort_idx
-    cols = []
-    spans = []
-    for f in fields:
-        if f.ndim == 1:
-            cols.append(f.astype(jnp.float32)[:, None])
-            spans.append(1)
-        else:
-            cols.append(f.astype(jnp.float32))
-            spans.append(f.shape[1])
-    packed = jnp.concatenate(cols, axis=1)[inv]          # [N, k_total]
-    out = []
-    off = 0
-    for f, k in zip(fields, spans):
-        piece = packed[:, off] if f.ndim == 1 else packed[:, off:off + k]
-        out.append(piece.astype(f.dtype))
-        off += k
-    return out
+    through f32 (the < 2^24 contract)."""
+    return packed_permute(fields, st.groups.unsort_idx)
 
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
@@ -879,10 +898,15 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     if cfg.h_max > 0.0:
         h = jnp.minimum(h, cfg.h_max)   # halo cap (see SimConfig.h_max)
     if rho0 is not None:
-        # warm start from the state's current density (one step stale):
-        # one fixed-point iteration for free BEFORE the throwaway build,
-        # so the build also sees tighter cutoffs. The clamp window stays
-        # anchored at the incoming h — identical guarantees.
+        # Warm start from the state's density (up to rebuild_every steps
+        # stale): one fixed-point iteration BEFORE the throwaway build, so
+        # the build sees tighter cutoffs, and one fewer in-solve sweep
+        # (`iters` below). NOTE the bound change: the warm step moves h by
+        # up to (1+c) and the solve clamp re-anchors at the warm h, so one
+        # call can move h by up to (1+c)^2 of the incoming value. Window
+        # validity is unaffected (the build runs on the warm h with
+        # h_margin=c); callers needing the single-(1+c) bound per rebuild
+        # should pass rho0=None.
         hw = eta * jnp.cbrt(mass / jnp.maximum(rho0, 1e-30))
         h = jnp.clip(hw, h / (1.0 + c), h * (1.0 + c))
         if cfg.h_max > 0.0:

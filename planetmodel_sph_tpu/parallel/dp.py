@@ -35,7 +35,7 @@ from ..ops import dense, eos as eos_ops
 from .mesh import DP_AXIS
 
 
-def _dp_forces(cfg: SimConfig, axis: str):
+def _dp_forces(cfg: SimConfig, axis: str, st=None):
     """Forces closure running inside shard_map: local targets, global sources.
 
     Covers the full feature matrix: symmetric / reference-asymmetric /
@@ -43,8 +43,13 @@ def _dp_forces(cfg: SimConfig, axis: str):
     gravity — on either the dense target/source passes (small N) or the
     block pipeline (neighbor_mode='grid': sharded target groups over
     all-gathered global source blocks, no dense fallback in the traced
-    program).
+    program). `st`: grid mode only — evaluate against this FROZEN
+    structure instead of building one per step (the Verlet-cached dp
+    span; sources are still re-gathered and re-sorted by the frozen
+    grouping every step).
     """
+    if st is not None and cfg.neighbor_mode != "grid":
+        raise ValueError("frozen structures are a grid-mode optimization")
 
     def forces(pos, h, mass, vel=None):
         local_n = pos.shape[0]
@@ -57,9 +62,9 @@ def _dp_forces(cfg: SimConfig, axis: str):
         if cfg.neighbor_mode == "grid":
             from ..ops import structure
             src = src3 + ((gather(vel),) if av and vel is not None else ())
-            st = structure.build(pos, h, mass, cfg, src=src3,
-                                 target_offset=off)
-            bf = structure.forces(pos, h, mass, cfg, st,
+            st_ = st if st is not None else structure.build(
+                pos, h, mass, cfg, src=src3, target_offset=off)
+            bf = structure.forces(pos, h, mass, cfg, st_,
                                   vel=vel if av else None, src=src,
                                   target_offset=off, gather_fn=gather)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
@@ -94,10 +99,10 @@ def _dp_forces(cfg: SimConfig, axis: str):
 
         if cfg.gravity_solver == "tree":
             from ..ops import structure
-            st = structure.build(pos, h, mass, cfg, src=src3,
-                                 target_offset=off)
+            st_g = structure.build(pos, h, mass, cfg, src=src3,
+                                   target_offset=off)
             phi, grad_phi, n_direct, n_approx = structure.gravity(
-                pos, h, mass, cfg, st, src=src3, target_offset=off)
+                pos, h, mass, cfg, st_g, src=src3, target_offset=off)
         elif cfg.gravity_solver == "direct" and cfg.grad_p_mode != "grad_h":
             phi, grad_phi, n_direct = p1.phi, p1.grad_phi, p1.n_direct
             n_approx = jnp.zeros_like(n_direct)
@@ -188,45 +193,31 @@ def local_run_steps(state, *, cfg, axis, n_steps):
     return out
 
 
+def surfaces_overflow(cfg: SimConfig) -> bool:
+    """Whether the dp runner can report real overflow counters.
+
+    Only the Verlet-cached grid path owns its structures; the per-step
+    path rebuilds inside the forces closure where counters are
+    unreachable. Callers must NOT print zeros from the other paths as if
+    overflow had been checked (the dropped-AND-counted contract would
+    read as satisfied when nothing was counted)."""
+    return cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid"
+
+
 def local_run_steps_info(state, *, cfg, axis, n_steps):
     """(state, overflow info) — info is psum'd over the mesh axis so the
     'dropped AND counted, never silent' contract holds on the dp cached
-    path too. The per-step (rebuild_every==1) dp path rebuilds inside the
-    forces closure where counters are unreachable; it reports zeros."""
+    path. Check :func:`surfaces_overflow` before trusting the zeros
+    returned by the other paths."""
     zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
             "tree_overflow": jnp.asarray(0, jnp.int32)}
-    if cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid":
+    if surfaces_overflow(cfg):
         out, info = _local_run_cached(state, cfg=cfg, axis=axis,
                                       n_steps=n_steps)
         info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
         return out, info
     return local_run_steps(state, cfg=cfg, axis=axis,
                            n_steps=n_steps), zero
-
-
-def _forces_frozen(cfg: SimConfig, axis: str, st):
-    """Grid-mode dp forces against a FROZEN structure (Verlet caching:
-    sources are re-gathered and re-sorted by the frozen grouping every
-    step; only the windows/MAC split stay fixed, exactly like the
-    single-chip cached path)."""
-    from ..ops import structure
-
-    def forces(pos, h, mass, vel=None):
-        local_n = pos.shape[0]
-        off = jax.lax.axis_index(axis) * local_n
-        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
-        av = cfg.av_alpha > 0.0
-        src = (gather(pos), gather(h), gather(mass)) \
-            + ((gather(vel),) if av and vel is not None else ())
-        bf = structure.forces(pos, h, mass, cfg, st,
-                              vel=vel if av else None, src=src,
-                              target_offset=off, gather_fn=gather)
-        accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
-        return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
-                             bf.grad_phi, bf.n_neighbors, bf.n_direct,
-                             bf.n_approx, accel, h)
-
-    return forces
 
 
 def _local_run_cached(state, *, cfg, axis, n_steps):
@@ -260,7 +251,7 @@ def _local_run_cached(state, *, cfg, axis, n_steps):
         st = structure.build(s.pos, s.h, s.mass, cfg, skin=skin,
                              src=src3, target_offset=off,
                              skin_src=gather(skin))
-        forces_fn = _forces_frozen(cfg, axis, st)
+        forces_fn = _dp_forces(cfg, axis, st=st)
         if cfg.integrator == "staggered_euler":
             one = lambda s2: planet.step_staggered(s2, cfg, forces_fn,
                                                    update_smoothing=False)

@@ -57,8 +57,7 @@ def build_cfg(args, settle: bool, widen: float = 1.0):
                   av_alpha=args.av, av_beta=2.0 * args.av)
     for item in (args.set or []):
         k, v = item.split("=")
-        fld = type(getattr(psph.jupiter_100k(), k))
-        kw[k] = fld(v)
+        kw[k] = psph.config.parse_override(k, v)
         if k in ("sph_exact_window", "blk_window") and widen > 1.0:
             kw[k] = r16(kw[k])      # r16 applies the widen factor itself
     return psph.jupiter_100k(**kw)

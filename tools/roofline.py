@@ -196,7 +196,7 @@ def main():
     if args.preset:
         for item in args.preset.split(","):
             k, v = item.split("=")
-            kw[k] = type(getattr(config_mod.SimConfig(), k))(v)
+            kw[k] = config_mod.parse_override(k, v)
 
     if args.smoke:
         cfg = config_mod.SimConfig(

@@ -34,8 +34,7 @@ def main():
     if args.preset:
         for item in args.preset.split(","):
             k, v = item.split("=")
-            fld = type(getattr(config_mod.SimConfig(), k))
-            kw[k] = fld(v)
+            kw[k] = config_mod.parse_override(k, v)
     cfg = config_mod.jupiter_100k(**kw)
     if args.ck and os.path.exists(args.ck):
         from planetmodel_sph_tpu.utils import checkpoint
