@@ -347,7 +347,8 @@ def test_dead_groups_no_nan_in_sorted_io(xw):
               nbr_group_level=3, nbr_window=128, p2p_window=128,
               m2p_window=128, rebuild_every=4)
     if xw:
-        kw["sph_exact_window"] = xw
+        # also covers the padded-row entry gathers (result-transparent)
+        kw.update(sph_exact_window=xw, gather_pad_rows=32)
     cfg = config_mod.SimConfig(**kw)
     state = ics.jupiter(cfg)
     st = planet._build_caches(state.pos, state.h, state.mass, state.vel,
