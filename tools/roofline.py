@@ -175,9 +175,13 @@ def count_work(cfg, st):
     }
 
 
-# per-pair-slot f32 VPU op counts (from the kernel bodies in
-# ops/pallas/groups2.py; where/select/compare counted as 1 each)
-OPS = {"pass1": 22, "pass2": 38, "p2p": 30, "mono": 12}
+# per-pair-slot f32 VPU op counts (hand-counted from the kernel bodies in
+# ops/pallas/groups2.py; where/select/compare = 1 op, accumulator adds
+# included). pass1: symmetric evaluates W at both h (38) vs grad-h one W
+# + dW/dh (26). p2p: Dyer-Ip inner+outer, sym-max softening. mono: +28
+# for the quadrupole correction.
+OPS = {"pass1_sym": 38, "pass1_gradh": 26, "pass2": 40, "p2p": 38,
+       "mono": 12, "quad_extra": 28}
 
 
 def main():
@@ -235,15 +239,18 @@ def main():
 
     # modeled floor: VPU time for every sweep + HBM time for gathers +
     # launches; pass1+pass2 sweep sph_slots each
-    ops = (w["sph_slots"] * (OPS["pass1"] + OPS["pass2"])
+    p1 = OPS["pass1_gradh" if cfg.grad_p_mode == "grad_h"
+              else "pass1_sym"]
+    mono = OPS["mono"] + (OPS["quad_extra"]
+                          if cfg.multipole_order >= 2 else 0)
+    ops = (w["sph_slots"] * (p1 + OPS["pass2"])
            + w["p2p_slots"] * OPS["p2p"]
-           + (w["ring_slots"] + w["far_slots"] + w["blk_slots"])
-           * OPS["mono"])
+           + (w["ring_slots"] + w["far_slots"] + w["blk_slots"]) * mono)
     t_vpu = ops / vpu
     t_hbm = w["gather_bytes"] / hbm
     t_launch = 3 * launch
     # h-solve + rebuild amortized: h_newton_iters sph sweeps + one build
-    t_amort = (cfg.h_newton_iters * w["sph_slots"] * OPS["pass1"] / vpu
+    t_amort = (cfg.h_newton_iters * w["sph_slots"] * p1 / vpu
                ) / max(1, cfg.rebuild_every)
     floor = t_vpu + t_hbm + t_launch + t_amort
     print(f"\nmodeled per-step floor:")
