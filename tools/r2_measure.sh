@@ -13,15 +13,15 @@ print('devices', jax.devices())
 print('probe', float(jnp.sum(jnp.ones((256,256)) @ jnp.ones((256,256)))))
 " >> $LOG 2>&1 || { echo "TPU DOWN" >> $LOG; exit 1; }
 
-# 1. component profile at the settled operating point (k=32, honest)
-timeout 1200 python tools/profile_block.py --only forces,build,hsolve,gravity,pass1,pass2 \
-    --k 32 --ck docs/results/drift100k/state.psph --gradh >> $LOG 2>&1
-
-# 2. operating-point sweep: fused base, exact lists, supergroup, theta
+# 1. operating-point sweep: fused base, exact lists, supergroup, theta
 timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
     --var k16 --var xwk16 --var xw640 --var xwk16gp --var xwk16sg4 \
     --var xwk16t08 --var xwq09 --var xwq10 \
     >> $LOG 2>&1
+
+# 2. component profile at the settled operating point (k=32, honest)
+timeout 1200 python tools/profile_block.py --only forces,build,hsolve,gravity,pass1,pass2 \
+    --k 32 --ck docs/results/drift100k/state.psph --gradh >> $LOG 2>&1
 
 # 3. xplane trace + top-op summary at the settled point (the glue hunt)
 timeout 1800 python tools/trace_run.py --steps 16 >> $LOG 2>&1
