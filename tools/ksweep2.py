@@ -121,6 +121,26 @@ VARIANTS = {
     "xwq10": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
                   multipole_order=2, theta=1.0, p2p_window=128,
                   m2p_window=128, gather_pad_rows=32),
+    # winner-stage combos on top of the quad operating point: supergroup
+    # far tier (fewer ring slots), wider chunk (less ceil-to-chunk pad),
+    # longer rebuild period (build amortization; windows widened for the
+    # 2x skin), and bf16 pair math (re-test at the smaller windows — the
+    # net-negative verdict was measured at ~5k slots/target)
+    "xwq09sg4": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                     multipole_order=2, theta=0.9, p2p_window=144,
+                     m2p_window=144, gather_pad_rows=32, sg_blocks=4,
+                     blk_window=768),
+    "xwq09c256": dict(rebuild_every=16, sort_every=64,
+                      sph_exact_window=512, multipole_order=2, theta=0.9,
+                      p2p_window=144, m2p_window=144, gather_pad_rows=32,
+                      block_chunk=256),
+    "xwq09k32": dict(rebuild_every=32, sort_every=64, sph_exact_window=640,
+                     multipole_order=2, theta=0.9, p2p_window=192,
+                     m2p_window=192, gather_pad_rows=32, nbr_window=240),
+    "xwq09bf": dict(rebuild_every=16, sort_every=64, sph_exact_window=512,
+                    multipole_order=2, theta=0.9, p2p_window=144,
+                    m2p_window=144, gather_pad_rows=32,
+                    grav_pair_dtype="bfloat16"),
 }
 
 
