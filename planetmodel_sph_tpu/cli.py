@@ -262,6 +262,11 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="planetmodel_sph_tpu")
+    p.add_argument("--platform", choices=("cpu", "tpu"), default=None,
+                   help="force a JAX backend before any device initializes "
+                        "(e.g. --platform cpu to run while the TPU relay is "
+                        "down; beats JAX_PLATFORMS, which a site-registered "
+                        "PJRT plugin can override)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="run a simulation")
@@ -318,7 +323,8 @@ def main(argv=None) -> int:
                     help="solid-body angular velocity for rotating_planet")
     pr.add_argument("--av", type=float, default=None, metavar="ALPHA",
                     help="enable Monaghan artificial viscosity with this "
-                         "alpha (beta=2*alpha); dense pipeline only")
+                         "alpha (beta=2*alpha); fused into pass 2 on every "
+                         "pipeline (dense, grid, Pallas, dp)")
     pr.add_argument("--freeze-velocity", action="store_true",
                     help="parity with DISABLE_VELOCITY_SYSTEM: compute "
                          "fields but never apply accelerations")
@@ -331,6 +337,8 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
