@@ -40,6 +40,11 @@ _ICS = {
 def _make_ic(args, cfg):
     if args.ic == "rotating_planet":
         return ics.rotating_planet(cfg, omega=args.omega)
+    if args.ic == "two_planet_collision":
+        return ics.two_planet_collision(
+            cfg, separation=args.separation,
+            approach_speed=args.approach_speed,
+            impact_parameter=args.impact_parameter)
     return _ICS[args.ic](cfg)
 
 
@@ -321,6 +326,13 @@ def main(argv=None) -> int:
                          "the reference's collections safety checks)")
     pr.add_argument("--omega", type=float, default=0.05,
                     help="solid-body angular velocity for rotating_planet")
+    pr.add_argument("--separation", type=float, default=150.0,
+                    help="two_planet_collision: initial center separation")
+    pr.add_argument("--approach-speed", type=float, default=0.5,
+                    help="two_planet_collision: closing bulk speed")
+    pr.add_argument("--impact-parameter", type=float, default=0.0,
+                    help="two_planet_collision: transverse offset "
+                         "(off-axis impacts)")
     pr.add_argument("--av", type=float, default=None, metavar="ALPHA",
                     help="enable Monaghan artificial viscosity with this "
                          "alpha (beta=2*alpha); fused into pass 2 on every "
