@@ -19,6 +19,12 @@ timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
     --var xwk16t08 --var xwq09 --var xwq10 \
     >> $LOG 2>&1
 
+# 1b. winner-stage combos on the quad operating point (decision-driving;
+#     run unattended so no manual round-trip is needed on recovery)
+timeout 2400 python tools/ksweep2.py --ck docs/results/drift100k/state.psph \
+    --var xwq09sg4 --var xwq09c256 --var xwq09k32 --var xwq09bf \
+    >> $LOG 2>&1
+
 # 2. component profile at the settled operating point (k=32, honest)
 timeout 1200 python tools/profile_block.py --only forces,build,hsolve,gravity,pass1,pass2 \
     --k 32 --ck docs/results/drift100k/state.psph --gradh >> $LOG 2>&1
