@@ -159,32 +159,52 @@ def main():
     nw, pw, mw = (int(x) for x in args.windows.split(","))
 
     for name in names:
-        kw = dict(grad_p_mode="grad_h", h_mode="newton",
-                  nbr_window=nw, p2p_window=pw, m2p_window=mw)
-        kw.update(VARIANTS[name])
-        cfg = config_mod.jupiter_100k(**kw)
-        try:
-            r = jax.jit(lambda s: planet.run_info(s, cfg, args.steps))
-            out, info = r(state)
-            float(jnp.sum(out.pos))                    # warm + compile
-            t0 = time.perf_counter()
-            out, info = r(state)
-            float(jnp.sum(out.pos))                    # honest readback
-            dt = (time.perf_counter() - t0) / args.steps
-            skin = planet._skin(cfg, state.vel, state.accel)
-            st = jax.jit(lambda p, h, m, s: structure.build(
-                p, h, m, cfg, skin=s))(state.pos, state.h, state.mass, skin)
-            print(f"{name:8s}: {dt*1e3:6.1f} ms/step = {1/dt:5.1f} steps/s  "
-                  f"windows avg/max: sph {float(jnp.mean(st.n_sph)):.0f}/"
-                  f"{int(jnp.max(st.n_sph))} p2p "
-                  f"{float(jnp.mean(st.n_p2p)):.0f}/{int(jnp.max(st.n_p2p))} "
-                  f"m2p {float(jnp.mean(st.n_m2p)):.0f}/"
-                  f"{int(jnp.max(st.n_m2p))} blk "
-                  f"{float(jnp.mean(st.n_blk)):.0f}/{int(jnp.max(st.n_blk))} "
-                  f"over=({int(info['nbr_overflow'])},"
-                  f"{int(info['tree_overflow'])})", flush=True)
-        except Exception as e:
-            print(f"{name}: FAILED {str(e)[:160]}", flush=True)
+        # overflow auto-retry: an overflowing row is INVALID-fast (dropped
+        # interactions), not fast — widen every window 25% and re-measure
+        # so an unattended battery run still produces decision-grade rows
+        widen = 1.0
+        while True:
+            r16 = lambda v: -(-int(v * widen) // 16) * 16
+            kw = dict(grad_p_mode="grad_h", h_mode="newton",
+                      nbr_window=r16(nw), p2p_window=r16(pw),
+                      m2p_window=r16(mw))
+            for k, v in VARIANTS[name].items():
+                kw[k] = (r16(v) if k in ("nbr_window", "p2p_window",
+                                         "m2p_window", "blk_window",
+                                         "sph_exact_window") else v)
+            cfg = config_mod.jupiter_100k(**kw)
+            label = name if widen == 1.0 else f"{name}*{widen:g}"
+            try:
+                r = jax.jit(lambda s: planet.run_info(s, cfg, args.steps))
+                out, info = r(state)
+                float(jnp.sum(out.pos))                    # warm + compile
+                t0 = time.perf_counter()
+                out, info = r(state)
+                float(jnp.sum(out.pos))                    # honest readback
+                dt = (time.perf_counter() - t0) / args.steps
+                skin = planet._skin(cfg, state.vel, state.accel)
+                st = jax.jit(lambda p, h, m, s: structure.build(
+                    p, h, m, cfg, skin=s))(state.pos, state.h, state.mass,
+                                           skin)
+                over = (int(info["nbr_overflow"]),
+                        int(info["tree_overflow"]))
+                print(f"{label:12s}: {dt*1e3:6.1f} ms/step = "
+                      f"{1/dt:5.1f} steps/s  "
+                      f"windows avg/max: sph {float(jnp.mean(st.n_sph)):.0f}/"
+                      f"{int(jnp.max(st.n_sph))} p2p "
+                      f"{float(jnp.mean(st.n_p2p)):.0f}/"
+                      f"{int(jnp.max(st.n_p2p))} "
+                      f"m2p {float(jnp.mean(st.n_m2p)):.0f}/"
+                      f"{int(jnp.max(st.n_m2p))} blk "
+                      f"{float(jnp.mean(st.n_blk)):.0f}/"
+                      f"{int(jnp.max(st.n_blk))} "
+                      f"over={over}", flush=True)
+                if sum(over) == 0 or widen >= 2.0:
+                    break
+                widen = round(widen * 1.25, 4)
+            except Exception as e:
+                print(f"{label}: FAILED {str(e)[:160]}", flush=True)
+                break
 
 
 if __name__ == "__main__":
