@@ -125,3 +125,29 @@ def test_cached_dense_direct_also_works():
     b = planet.run(st, cached, 6)
     np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cached_collision_approach_no_overflow():
+    """Fast approaching clusters: the per-particle skin and the motion-
+    conservative MAC (d_eff = d - deltas, bmax + 2*delta_src) must keep
+    the frozen structure valid while the bulk velocity closes ~a block
+    width per rebuild period. Regression target: the frozen M2P/P2P split
+    silently going stale under coherent motion."""
+    base = dict(n=512, radius=10.0, particle_radius=2.5,
+                neighbor_mode="grid", gravity_solver="tree",
+                adaptive_h=False, nbr_group_level=3, nbr_window=256,
+                p2p_window=256, m2p_window=256)
+    exact = psph.default(rebuild_every=1, **base)
+    cached = psph.default(rebuild_every=8, **base)
+    st = ics.two_planet_collision(exact, separation=35.0,
+                                  approach_speed=8.0)
+    st = planet.prime(st, exact)
+    a, ia = planet.run_info(st, exact, 8)
+    b, ib = planet.run_info(st, cached, 8)
+    assert int(ib["nbr_overflow"]) == 0 and int(ib["tree_overflow"]) == 0
+    for leaf in jax.tree.leaves(b):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
+                               rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=5e-3)

@@ -150,3 +150,25 @@ def test_dp_matrix_matches_single_chip(mode, av, nbr):
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=5e-4, atol=1e-5, err_msg=f"{name} ({mode}, av={av}, {nbr})")
+
+
+def test_dp_cached_collision_geometry_matches_single_chip():
+    """Unbalanced shards: the collision IC concatenates cluster A then
+    cluster B, so a particle-index shard owns targets from ONE cluster
+    while its sources span both — the worst case for the per-shard target
+    grouping + all-gathered source build. Must track single-chip."""
+    cfg = psph.default(n=2048, radius=12.0, particle_radius=2.5,
+                       block_n=128, gravity_solver="tree",
+                       neighbor_mode="grid", rebuild_every=4,
+                       nbr_group_size=32, nbr_group_level=3, nbr_window=320,
+                       p2p_window=320, m2p_window=320)
+    st = ics.two_planet_collision(cfg, separation=40.0, approach_speed=2.0)
+    st = planet.prime(st, cfg.replace(rebuild_every=1))
+    ref, _ = planet.run_info(st, cfg, 8)
+    mesh = mesh_mod.make_mesh(8)
+    out = dp.make_run(cfg, mesh)(mesh_mod.shard_state(st, mesh), 8)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=2e-3)
+    assert bool(jnp.all(jnp.isfinite(out.vel)))
