@@ -65,6 +65,11 @@ def _build_cfg(args) -> config_mod.SimConfig:
     if getattr(args, "av", None):
         kw["av_alpha"] = args.av
         kw["av_beta"] = 2.0 * args.av
+    if getattr(args, "eos", None):
+        kw["eos_mode"] = args.eos
+    for item in (getattr(args, "set", None) or []):
+        k, v = item.split("=", 1)
+        kw[k] = config_mod.parse_override(k, v)
     return _PRESETS[args.preset](**kw)
 
 
@@ -333,6 +338,14 @@ def main(argv=None) -> int:
     pr.add_argument("--impact-parameter", type=float, default=0.0,
                     help="two_planet_collision: transverse offset "
                          "(off-axis impacts)")
+    pr.add_argument("--eos", choices=("polytropic", "adiabatic"),
+                    default=None,
+                    help="EOS: the reference's barotropic P=K rho^gamma, or "
+                         "ideal-gas P=(gamma-1) rho u with the internal "
+                         "energy evolved (shock heating; new capability)")
+    pr.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="generic SimConfig override (repeatable), e.g. "
+                         "--set theta=0.9 --set multipole_order=2")
     pr.add_argument("--av", type=float, default=None, metavar="ALPHA",
                     help="enable Monaghan artificial viscosity with this "
                          "alpha (beta=2*alpha); fused into pass 2 on every "

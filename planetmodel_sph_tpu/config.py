@@ -57,6 +57,17 @@ class SimConfig:
     # ---- EOS (PressureFieldSystem.cs:30-34) ----
     eos_k: float = 1000.0          # P = K rho^2
     eos_gamma: float = 2.0         # polytropic exponent (reference hardcodes 2)
+    # 'polytropic': barotropic P = K rho^gamma (the reference's EOS; the
+    #   thermal state is implied by rho and never evolved).
+    # 'adiabatic' : ideal-gas P = (gamma-1) rho u with the specific internal
+    #   energy u evolved by the conjugate SPH energy equation
+    #   du_i/dt = P_i/(Omega_i rho_i^2) sum_j m_j v_ij . gradW(h_i) (grad-h)
+    #   or the 1/2 (P_i/rho_i^2 + P_j/rho_j^2) pairwise form (symmetric),
+    #   plus the AV heating term 1/2 Pi_ij v_ij . gradW_sym — so shocks
+    #   (two-planet impacts) convert kinetic energy into heat instead of
+    #   destroying it. New capability beyond the reference. Requires a
+    #   momentum-conserving pressure form (not 'reference_asymmetric').
+    eos_mode: Literal["polytropic", "adiabatic"] = "polytropic"
 
     # ---- pressure force ----
     # 'reference_asymmetric': grad P_i = sum_j (m_j/rho_j) P_j gradW_sym

@@ -79,6 +79,11 @@ def jupiter(cfg: SimConfig) -> ParticleState:
         grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
         n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
         accel=zeros3,
+        # thermal state matching the polytropic relation at the IC density
+        # (so an adiabatic run starts pressure-consistent with the
+        # reference's barotropic EOS at t=0)
+        u=eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma),
+        du_dt=zeros1,
     )
 
 
@@ -135,6 +140,8 @@ def polytrope(cfg: SimConfig, rho_floor_frac: float = 0.01) -> ParticleState:
         grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
         n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
         accel=zeros3,
+        u=eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma),
+        du_dt=zeros1,
     )
 
 

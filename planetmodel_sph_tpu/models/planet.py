@@ -41,6 +41,8 @@ class Forces(NamedTuple):
     accel: jax.Array
     h: jax.Array      # smoothing length actually used (the Newton h-solve
                       # refines it inside the force evaluation)
+    du_dt: jax.Array  # specific-internal-energy rate (zeros unless
+                      # cfg.eos_mode='adiabatic')
 
 
 def update_h(h, n_neighbors, cfg: SimConfig):
@@ -72,8 +74,9 @@ def current_dt(state: ParticleState, cfg: SimConfig):
     if cfg.dt_mode == "fixed":
         return jnp.asarray(cfg.dt, state.pos.dtype)
     live = state.mass > 0.0
-    cs = eos_ops.sound_speed(jnp.maximum(state.rho, 1e-30), cfg.eos_k,
-                             cfg.eos_gamma)
+    cs = eos_ops.sound_speed_cfg(
+        jnp.maximum(state.rho, 1e-30), cfg,
+        u=state.u if cfg.eos_mode == "adiabatic" else None)
     v = jnp.sqrt(jnp.sum(state.vel * state.vel, axis=-1))
     a = jnp.sqrt(jnp.sum(state.accel * state.accel, axis=-1))
     big = jnp.asarray(3e30, state.pos.dtype)
@@ -89,24 +92,30 @@ def h_eta(cfg: SimConfig) -> float:
                   / (4.0 * jnp.pi)) ** (1.0 / 3.0)) / cfg.kappa
 
 
-def compute_forces(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
+def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None) -> Forces:
     """Full field evaluation at the given positions/smoothing lengths.
 
-    `vel` is required only when artificial viscosity is enabled
-    (cfg.av_alpha > 0). Grid mode routes everything — sym/asym/grad-h
-    pressure, fused AV, block-tree gravity — through the unified block
-    pipeline (ops/structure.py); this is the uncached path (structures
-    built fresh, zero skin).
+    `vel` is required only when artificial viscosity or the adiabatic
+    energy equation is enabled; `u` (specific internal energy) only under
+    cfg.eos_mode='adiabatic'. Grid mode routes everything — sym/asym/
+    grad-h pressure, fused AV, block-tree gravity — through the unified
+    block pipeline (ops/structure.py); this is the uncached path
+    (structures built fresh, zero skin).
     """
+    energy = cfg.eos_mode == "adiabatic"
+    if energy and u is None:
+        raise ValueError("eos_mode='adiabatic' needs the internal energy; "
+                         "pass u= to compute_forces")
     if cfg.neighbor_mode == "grid":
         from ..ops import structure
         st = structure.build(pos, h, mass, cfg)
-        return _forces_block(pos, h, mass, cfg, st, vel=vel)
+        return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u)
     if cfg.grad_p_mode == "grad_h":
-        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel)
+        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel, u=u)
 
     from ..ops.pallas import pairwise
-    if cfg.use_pallas and pairwise._on_tpu():
+    use_pallas = cfg.use_pallas and pairwise._on_tpu() and not energy
+    if use_pallas:
         p1 = pairwise.pass1(pos, h, mass, cfg)
         grad_p_fn = partial(pairwise.pass2, pos, h, mass)
     else:
@@ -119,14 +128,19 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
     if cfg.gravity_solver == "tree":
         phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
 
-    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-    # AV (when enabled) is fused into pass 2 on both dense backends
-    grad_p = grad_p_fn(rho, prs, cfg, vel=vel)
+    prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+    # AV (when enabled) is fused into pass 2 on both dense backends; the
+    # adiabatic energy equation rides the same sweep (dense backend)
+    if energy:
+        grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u)
+    else:
+        grad_p = grad_p_fn(rho, prs, cfg, vel=vel)
+        du_dt = jnp.zeros_like(rho)
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h)
+                  accel, h, du_dt)
 
 
 def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
@@ -137,7 +151,7 @@ def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
     return structure.gravity(pos, h, mass, cfg, st)
 
 
-def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None,
+def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
                   solve_h=True, sorted_io=False) -> Forces:
     """Grid-mode force evaluation on the unified block pipeline.
 
@@ -152,11 +166,12 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None,
             and cfg.grad_p_mode == "grad_h"):
         h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
         st = structure.build(pos, h, mass, cfg)
-    bf = structure.forces(pos, h, mass, cfg, st, vel=vel,
+    bf = structure.forces(pos, h, mass, cfg, st, vel=vel, u=u,
                           sorted_io=sorted_io)
     accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
-                  bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h)
+                  bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h,
+                  bf.du_dt)
 
 
 def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
@@ -173,7 +188,8 @@ def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
     return dense.viscosity_accel(pos, vel, h, mass, rho, cfg)
 
 
-def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
+def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
+                          u=None) -> Forces:
     """Grad-h SPH (Springel & Hernquist 2002) on the dense pipeline.
 
     Gather-form density with Omega correction factors; optional fixed-point
@@ -189,9 +205,15 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
             if cfg.h_max > 0.0:
                 h = jnp.minimum(h, cfg.h_max)
 
+    energy = cfg.eos_mode == "adiabatic"
     rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-    prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-    grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+    prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+    if energy:
+        grad_p, du_dt = dense.pass2_gradh(pos, h, mass, rho, omega, prs,
+                                          cfg, energy=True, vel=vel)
+    else:
+        grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+        du_dt = jnp.zeros_like(rho)
 
     if cfg.gravity_solver == "direct":
         # gravity-only dense sweep (the SPH kernel math is skipped, fixing
@@ -208,9 +230,16 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None) -> Forces:
         n_approx = jnp.zeros_like(n_direct)
 
     accel = -grad_p / rho[:, None] - grad_phi
-    accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
+    if cfg.av_alpha > 0.0:
+        if energy:
+            av_acc, av_du = dense.viscosity_accel(pos, vel, h, mass, rho,
+                                                  cfg, energy=True, u=u)
+            accel = accel + av_acc
+            du_dt = du_dt + av_du
+        else:
+            accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h)
+                  accel, h, du_dt)
 
 
 def _damp(vel, dt, cfg: SimConfig):
@@ -225,20 +254,28 @@ def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
         rho=f.rho, pressure=f.pressure, grad_p=f.grad_p, phi=f.phi,
         grad_phi=f.grad_phi, n_neighbors=f.n_neighbors,
         n_direct=f.n_direct, n_approx=f.n_approx, accel=f.accel, h=f.h,
+        du_dt=f.du_dt,
     )
 
 
 def _default_forces(cfg: SimConfig):
-    def fn(pos, h, mass, vel=None):
-        return compute_forces(pos, h, mass, cfg, vel=vel)
+    def fn(pos, h, mass, vel=None, u=None):
+        return compute_forces(pos, h, mass, cfg, vel=vel, u=u)
     return fn
+
+
+def _forces_kw(cfg: SimConfig, u):
+    """Thread u into a forces_fn only under the adiabatic EOS, so custom
+    closures that predate the energy equation keep working unchanged."""
+    return {"u": u} if cfg.eos_mode == "adiabatic" else {}
 
 
 def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
     """Evaluate forces once at the initial state (fills accel for KDK)."""
     forces_fn = forces_fn or _default_forces(cfg)
     return _apply_forces(state, forces_fn(state.pos, state.h, state.mass,
-                                          vel=state.vel))
+                                          vel=state.vel,
+                                          **_forces_kw(cfg, state.u)))
 
 
 def step_staggered(state: ParticleState, cfg: SimConfig,
@@ -248,26 +285,41 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     dt = current_dt(state, cfg)
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
-    f = forces_fn(state.pos, h, state.mass, vel=state.vel)
+    f = forces_fn(state.pos, h, state.mass, vel=state.vel,
+                  **_forces_kw(cfg, state.u))
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
-    return _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
+    out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
+    if cfg.eos_mode == "adiabatic":
+        # forward-Euler u update matching the staggered v update
+        out = out.replace(u=jnp.maximum(state.u + dt * f.du_dt, 0.0))
+    return out
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
              forces_fn=None, update_smoothing=True) -> ParticleState:
-    """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step."""
+    """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step.
+
+    Under the adiabatic EOS the internal energy gets the same half-kick
+    treatment as the velocity (state.du_dt carries du/dt(x_n)): the force
+    evaluation at x_{n+1} sees u at the half step, mirroring v_half."""
     forces_fn = forces_fn or _default_forces(cfg)
+    adiabatic = cfg.eos_mode == "adiabatic"
     dt = current_dt(state, cfg)
     v_half = state.vel if cfg.freeze_velocity \
         else state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
-    f = forces_fn(pos, h, state.mass, vel=v_half)
+    u_half = jnp.maximum(state.u + 0.5 * dt * state.du_dt, 0.0) \
+        if adiabatic else state.u
+    f = forces_fn(pos, h, state.mass, vel=v_half, **_forces_kw(cfg, u_half))
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
-    return _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
+    out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
+    if adiabatic:
+        out = out.replace(u=jnp.maximum(u_half + 0.5 * dt * f.du_dt, 0.0))
+    return out
 
 
 def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
@@ -323,26 +375,42 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
     return structure.build(pos, h, mass, cfg, skin=skin, groups=groups)
 
 
-def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None) -> Forces:
+def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
+                   u=None) -> Forces:
     if cfg.neighbor_mode == "grid":
-        return _forces_block(pos, h, mass, cfg, st, vel=vel, solve_h=False)
+        return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
+                             solve_h=False)
+    energy = cfg.eos_mode == "adiabatic"
     av_extra = None
+    du_dt = None
     if cfg.grad_p_mode == "grad_h":
         rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-        grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
-        av_extra = _viscosity(pos, vel, h, mass, rho, cfg)
+        prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+        if energy:
+            grad_p, du_dt = dense.pass2_gradh(pos, h, mass, rho, omega,
+                                              prs, cfg, energy=True, vel=vel)
+            if cfg.av_alpha > 0.0:
+                av_extra, av_du = dense.viscosity_accel(
+                    pos, vel, h, mass, rho, cfg, energy=True, u=u)
+                du_dt = du_dt + av_du
+        else:
+            grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
+            av_extra = _viscosity(pos, vel, h, mass, rho, cfg)
     else:
         from ..ops.pallas import pairwise
-        if cfg.use_pallas and pairwise._on_tpu():
+        if cfg.use_pallas and pairwise._on_tpu() and not energy:
             p1 = pairwise.pass1(pos, h, mass, cfg)
             grad_p_fn = partial(pairwise.pass2, pos, h, mass)
         else:
             p1 = dense.pass1(pos, h, mass, cfg)
             grad_p_fn = partial(dense.pass2, pos, h, mass)
         rho, nn = p1.rho, p1.n_neighbors
-        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
-        grad_p = grad_p_fn(rho, prs, cfg, vel=vel)   # AV fused when enabled
+        prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+        if energy:
+            grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True,
+                                      u=u)
+        else:
+            grad_p = grad_p_fn(rho, prs, cfg, vel=vel)  # AV fused if enabled
 
     if cfg.gravity_solver == "tree":
         from ..ops import structure
@@ -364,8 +432,10 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None) -> Forces:
     accel = -grad_p / rho[:, None] - grad_phi
     if av_extra is not None:
         accel = accel + av_extra
+    if du_dt is None:
+        du_dt = jnp.zeros_like(rho)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h)
+                  accel, h, du_dt)
 
 
 def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
@@ -374,7 +444,7 @@ def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     st = _build_caches(state.pos, state.h, state.mass, state.vel,
                        cfg, accel=state.accel)
     f = _forces_cached(state.pos, state.h, state.mass, cfg, st,
-                       vel=state.vel)
+                       vel=state.vel, u=state.u)
     return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32), st)
 
 
@@ -411,19 +481,29 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
         return carry.st
 
     st = jax.lax.cond(rebuild, do_build, keep, None)
+    adiabatic = cfg.eos_mode == "adiabatic"
+    u_half = state.u
+    if adiabatic and cfg.integrator != "staggered_euler":
+        u_half = jnp.maximum(state.u + 0.5 * dt * state.du_dt, 0.0)
     # KDK evaluates forces at the post-drift position with the half-step
     # velocity (matching step_kdk); staggered uses the pre-step velocity
     f = _forces_cached(eval_pos, h, state.mass, cfg, st,
-                       vel=state.vel if v_half is None else v_half)
+                       vel=state.vel if v_half is None else v_half,
+                       u=u_half)
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
         vel = state.vel if cfg.freeze_velocity else state.vel + f.accel * dt
+        u_new = jnp.maximum(state.u + dt * f.du_dt, 0.0) if adiabatic \
+            else state.u
     else:
         pos = eval_pos
         vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
+        u_new = jnp.maximum(u_half + 0.5 * dt * f.du_dt, 0.0) if adiabatic \
+            else state.u
     new_state = _apply_forces(state, f).replace(pos=pos,
-                                                vel=_damp(vel, dt, cfg), h=h)
+                                                vel=_damp(vel, dt, cfg), h=h,
+                                                u=u_new)
     return Carry(new_state, tick + 1, st)
 
 
@@ -474,12 +554,12 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
         # per-step layout moves (cfg.sorted_chunks)
         grp = st.groups
         run_state = _permute_state(state, grp.tgt_idx)
-        forces_fn = lambda p, hh, m, vel=None: _forces_block(
-            p, hh, m, cfg, st, vel=vel, solve_h=False, sorted_io=True)
+        forces_fn = lambda p, hh, m, vel=None, u=None: _forces_block(
+            p, hh, m, cfg, st, vel=vel, u=u, solve_h=False, sorted_io=True)
     else:
         run_state = state
-        forces_fn = lambda p, hh, m, vel=None: _forces_cached(
-            p, hh, m, cfg, st, vel=vel)
+        forces_fn = lambda p, hh, m, vel=None, u=None: _forces_cached(
+            p, hh, m, cfg, st, vel=vel, u=u)
     if _uses_block_cache(cfg):
         from ..ops import structure
         info = structure.overflow_info(st)

@@ -198,7 +198,8 @@ def density_gradh(pos, h, mass, cfg: SimConfig, src=None, target_offset=0):
 
 
 def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
-                src=None, target_offset=0):
+                src=None, target_offset=0, energy: bool = False,
+                vel=None, vel_src=None):
     """Grad-h symmetric pressure force, returned as an effective gradient.
 
     a_i = -sum_j m_j [ P_i/(Omega_i rho_i^2) gradW_i(h_i)
@@ -207,9 +208,18 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
 
     `src`: optional (pos_src, h_src, mass_src, coef_src) where coef_src is
     the precomputed P/(Omega rho^2) of the global source set (dp mode).
+
+    `energy=True` (cfg.eos_mode='adiabatic') returns (grad_p, du_dt) with
+    the Springel & Hernquist (2002) conjugate energy equation accumulated
+    in the same sweep:
+        du_i/dt = P_i/(Omega_i rho_i^2) sum_j m_j v_ij . gradW(r, h_i)
+    (AV heating is handled by viscosity_accel's own energy term on this
+    pipeline). Requires `vel` (+ `vel_src` under dp).
     """
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg,
                                                       target_offset)
+    if energy and vel is None:
+        raise ValueError("the energy equation needs velocities; pass vel=")
     # robustness floor: at very low neighbor counts the discrete Omega can
     # approach 0 (the density becomes locally non-monotone in h) and the
     # 1/Omega force would blow up; clamping keeps the pairwise terms
@@ -228,9 +238,15 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
                       _pad_to(rho, n_pad, 1.0), 1.0)
     coef_t = _pad_to(coef, n_pad, 0.0)
     sign_bug = cfg.kernel_deriv_sign_bug
+    if energy:
+        vel_s = vel if src is None or vel_src is None else vel_src
+        vel_t = _pad_to(vel, n_pad, 0.0)
+    else:
+        vel_s = None
+        vel_t = jnp.zeros((n_pad, 3), pos.dtype)
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, coef_i = args
+        pos_i, h_i, idx_i, rho_i, coef_i, vel_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
         pair = (idx_i[:, None] != sidx[None, :]) & src_live[None, :]
@@ -239,18 +255,28 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
         gw_j = kernels.dw_dr_over_r(r, h_s[None, :], sign_bug)
         radial = m_eff * (coef_i[:, None] * gw_i + coef_s[None, :] * gw_j)
         accel = -jnp.sum(dx * radial[..., None], axis=-2)
-        return -rho_i[:, None] * accel            # effective grad P
+        if energy:
+            dv = vel_i[:, None, :] - vel_s[None, :, :]
+            vdotr = jnp.sum(dv * dx, axis=-1)
+            du = coef_i * jnp.sum(m_eff * gw_i * vdotr, axis=-1)
+        else:
+            du = jnp.zeros_like(rho_i)
+        return -rho_i[:, None] * accel, du        # effective grad P
 
-    out = jax.lax.map(
+    out, du = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
-         _block(rho_t, nb, b), _block(coef_t, nb, b)),
+         _block(rho_t, nb, b), _block(coef_t, nb, b), _block(vel_t, nb, b)),
     )
-    return out.reshape((n_pad, 3))[:n]
+    grad_p = out.reshape((n_pad, 3))[:n]
+    if energy:
+        return grad_p, du.reshape((n_pad,))[:n]
+    return grad_p
 
 
 def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
-                    src=None, target_offset=0):
+                    src=None, target_offset=0, energy: bool = False,
+                    u=None, u_src=None):
     """Monaghan (1992) artificial-viscosity acceleration (blocked all-pairs).
 
     Pi_ij = (-alpha cbar mu + beta mu^2)/rhobar for approaching pairs,
@@ -263,6 +289,10 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
     the dense grad-h pipeline and the tests' oracle.
 
     `src`: optional (pos, vel, h, mass, rho) global source set (dp mode).
+    `energy=True` (cfg.eos_mode='adiabatic') returns (accel, du_dt) with
+    the conjugate shock-heating rate du_i/dt = 1/2 sum_j m_j Pi_ij
+    v_ij.gradW_sym accumulated in the same sweep; `u`/`u_src` then feed
+    the adiabatic sound speed in Pi_ij.
     """
     from . import eos as eos_ops
 
@@ -270,17 +300,19 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
                                                       target_offset)
     if src is None:
         src = (pos, vel, h, mass, rho)
+        u_src = u
     pos_s, vel_s, h_s, mass_s, rho_s = src
     h_s = jnp.where(h_s > 0, h_s, 1.0)
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
-    cs_s = eos_ops.sound_speed(rho_s, cfg.eos_k, cfg.eos_gamma)
+    cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
     src_live = mass_s > 0.0
 
     vel_t = _pad_to(vel, n_pad, 0.0)
     rho_t = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
                       _pad_to(rho, n_pad, 1.0), 1.0)
-    cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
+    cs_t = eos_ops.sound_speed_cfg(
+        rho_t, cfg, u=_pad_to(u, n_pad, 0.0) if u is not None else None)
     # AV is a beyond-reference capability: always use the CORRECT kernel
     # derivative. With the parity sign bug the q<1 gradient flips and AV
     # would accelerate approaching pairs (inject energy) instead of
@@ -307,14 +339,22 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
         gsym = 0.5 * (kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
                       + kernels.dw_dr_over_r(r, h_s[None, :], sign_bug))
         m_eff = jnp.where(pair, mass_s[None, :], 0.0)
-        return -jnp.sum(dx * (m_eff * pi_ij * gsym)[..., None], axis=-2)
+        acc = -jnp.sum(dx * (m_eff * pi_ij * gsym)[..., None], axis=-2)
+        if energy:
+            du = 0.5 * jnp.sum(m_eff * pi_ij * gsym * vdotr, axis=-1)
+        else:
+            du = jnp.zeros_like(rho_i)
+        return acc, du
 
-    out = jax.lax.map(
+    out, du = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(vel_t, nb, b), _block(h_t, nb, b),
          _block(gidx, nb, b), _block(rho_t, nb, b), _block(cs_t, nb, b)),
     )
-    return out.reshape((n_pad, 3))[:n]
+    accel = out.reshape((n_pad, 3))[:n]
+    if energy:
+        return accel, du.reshape((n_pad,))[:n]
+    return accel
 
 
 def pass2(
@@ -322,7 +362,10 @@ def pass2(
     src: Optional[Tuple[jax.Array, ...]] = None,
     target_offset: int = 0,
     vel: Optional[jax.Array] = None,
-) -> jax.Array:
+    energy: bool = False,
+    u: Optional[jax.Array] = None,
+    u_src: Optional[jax.Array] = None,
+):
     """Pressure gradient grad P_i, shape [N,3].
 
     'reference_asymmetric' (``PressureFieldSystem.cs:44-70``):
@@ -335,13 +378,31 @@ def pass2(
     [, vel_src]). `vel` (with cfg.av_alpha > 0) fuses the Monaghan AV term
     into the same sweep as an effective-gradient contribution (-rho_i a_AV),
     instead of paying a second all-pairs sweep.
+
+    `energy=True` (cfg.eos_mode='adiabatic') additionally accumulates the
+    conjugate specific-internal-energy rate in the SAME sweep and returns
+    (grad_p, du_dt):
+        du_i/dt = 1/2 sum_j m_j (P_i/rho_i^2 + P_j/rho_j^2) v_ij.gradW_sym
+                + 1/2 sum_j m_j Pi_ij v_ij.gradW_sym      (AV heating)
+    — the pairwise-antisymmetric partner of the symmetric momentum
+    equation, so KE + E_int is conserved pair-by-pair (Monaghan 1992).
+    Requires `vel` (and vel_src in `src`); `u`/`u_src` feed the adiabatic
+    sound speed of the AV term.
     """
     from . import eos as eos_ops
 
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
     av = cfg.av_alpha > 0.0 and vel is not None
+    if energy and vel is None:
+        raise ValueError("the energy equation needs velocities; pass vel=")
+    if energy and cfg.grad_p_mode == "reference_asymmetric":
+        raise ValueError("eos_mode='adiabatic' needs a momentum-conserving "
+                         "pressure form (the reference-asymmetric force "
+                         "has no conjugate energy equation)")
+    need_vel = av or energy
     if src is None:
-        src = (pos, h, mass, rho, pressure) + ((vel,) if av else ())
+        src = (pos, h, mass, rho, pressure) + ((vel,) if need_vel else ())
+        u_src = u
     pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src[:5])
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
@@ -350,17 +411,21 @@ def pass2(
     rho_t = _pad_to(rho, n_pad, 1.0)
     rho_t = jnp.where(rho_t > 0, rho_t, 1.0)
     prs_t = _pad_to(pressure, n_pad, 0.0)
-    if av:
+    if need_vel:
         vel_s = src[5]
-        cs_s = eos_ops.sound_speed(rho_s, cfg.eos_k, cfg.eos_gamma)
+        cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src)
         vel_t = _pad_to(vel, n_pad, 0.0)
     else:
         vel_t = jnp.zeros((n_pad, 3), pos.dtype)
+    if energy and cfg.eos_mode == "adiabatic":
+        u_t = _pad_to(u, n_pad, 0.0)
+    else:
+        u_t = jnp.zeros((n_pad,), pos.dtype)
 
     sign_bug = cfg.kernel_deriv_sign_bug
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, prs_i, vel_i = args
+        pos_i, h_i, idx_i, rho_i, prs_i, vel_i, u_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         r = jnp.sqrt(r2)
@@ -373,20 +438,24 @@ def pass2(
         m_eff = jnp.where(pair_mask, mass_s[None, :], 0.0)
         if cfg.grad_p_mode == "reference_asymmetric":
             coef = m_eff * (prs_s / rho_s)[None, :] * gsym
+            pcoef = None
         else:
-            coef = m_eff * (
+            pcoef = m_eff * (
                 (prs_i / (rho_i * rho_i))[:, None]
                 + (prs_s / (rho_s * rho_s))[None, :]
-            ) * rho_i[:, None] * gsym
+            ) * gsym
+            coef = pcoef * rho_i[:, None]
+        ecoef = pcoef if energy else None
+        if need_vel:
+            dv = vel_i[:, None, :] - vel_s[None, :, :]
+            vdotr = jnp.sum(dv * dx, axis=-1)
         if av:
             # Monaghan AV fused into the same sweep (always the correct
             # kernel derivative — see viscosity_accel); effective gradP
             # contribution is -rho_i * a_AV
-            dv = vel_i[:, None, :] - vel_s[None, :, :]
-            vdotr = jnp.sum(dv * dx, axis=-1)
             hbar = 0.5 * (h_i[:, None] + h_s[None, :])
             mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
-            cs_i = eos_ops.sound_speed(rho_i, cfg.eos_k, cfg.eos_gamma)
+            cs_i = eos_ops.sound_speed_cfg(rho_i, cfg, u=u_i)
             cbar = 0.5 * (cs_i[:, None] + cs_s[None, :])
             rhobar = 0.5 * (rho_i[:, None] + rho_s[None, :])
             pi_ij = jnp.where(
@@ -399,11 +468,20 @@ def pass2(
             else:
                 gs_av = gsym
             coef = coef + m_eff * pi_ij * gs_av * rho_i[:, None]
-        return jnp.sum(dx * coef[..., None], axis=-2)
+            if energy:
+                ecoef = ecoef + m_eff * pi_ij * gs_av
+        gp = jnp.sum(dx * coef[..., None], axis=-2)
+        if energy:
+            return gp, 0.5 * jnp.sum(ecoef * vdotr, axis=-1)
+        return gp, jnp.zeros_like(rho_i)
 
-    out = jax.lax.map(
+    out, du = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
-         _block(rho_t, nb, b), _block(prs_t, nb, b), _block(vel_t, nb, b)),
+         _block(rho_t, nb, b), _block(prs_t, nb, b), _block(vel_t, nb, b),
+         _block(u_t, nb, b)),
     )
-    return out.reshape((n_pad, 3))[:n]
+    grad_p = out.reshape((n_pad, 3))[:n]
+    if energy:
+        return grad_p, du.reshape((n_pad,))[:n]
+    return grad_p

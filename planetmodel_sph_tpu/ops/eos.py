@@ -30,3 +30,27 @@ def internal_energy(rho, k: float, gamma: float = 2.0):
 def sound_speed(rho, k: float, gamma: float = 2.0):
     """c_s = sqrt(dP/drho) — used by the CFL diagnostic (new capability)."""
     return jnp.sqrt(gamma * k * jnp.power(rho, gamma - 1.0))
+
+
+# --- cfg-aware forms (polytropic vs adiabatic; u ignored when polytropic) ---
+
+def pressure_cfg(rho, cfg, u=None):
+    """P from the configured EOS. 'adiabatic' (cfg.eos_mode) is the ideal
+    gas P = (gamma-1) rho u with u the EVOLVED specific internal energy
+    (state.u); 'polytropic' is the reference's barotropic P = K rho^gamma."""
+    if cfg.eos_mode == "adiabatic":
+        if u is None:
+            raise ValueError("adiabatic EOS needs the internal energy u")
+        return (cfg.eos_gamma - 1.0) * rho * jnp.maximum(u, 0.0)
+    return pressure(rho, cfg.eos_k, cfg.eos_gamma)
+
+
+def sound_speed_cfg(rho, cfg, u=None):
+    """c_s for the configured EOS: adiabatic sqrt(gamma (gamma-1) u),
+    polytropic sqrt(gamma K rho^(gamma-1)). Floor-safe for u=0/rho=0."""
+    if cfg.eos_mode == "adiabatic":
+        if u is None:
+            raise ValueError("adiabatic EOS needs the internal energy u")
+        return jnp.sqrt(cfg.eos_gamma * (cfg.eos_gamma - 1.0)
+                        * jnp.maximum(u, 0.0))
+    return sound_speed(jnp.maximum(rho, 0.0), cfg.eos_k, cfg.eos_gamma)

@@ -392,19 +392,23 @@ def _gw_from(q, inv_h, inv_h4, inv_r, sign_bug):
     return (_INV_PI) * inv_h4 * val
 
 
-def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
-                  av_beta, gb, b):
+def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
+                  av_alpha, av_beta, gb, b):
     it = iter(args)
     tx, ty, tz, tih = (next(it) for _ in range(4))
     tc = next(it) if mode != "reference_asymmetric" else None
     if av:
         tvx, tvy, tvz, th, tcs, trho = (next(it) for _ in range(6))
+    elif energy:
+        tvx, tvy, tvz = (next(it) for _ in range(3))
     sx, sy, sz, sih, sm, scc = (next(it) for _ in range(6))
-    s_av = [next(it) for _ in range(6)] if av else []   # vx,vy,vz,h,cs,rho
+    # source velocity (+AV fields) rows: vx,vy,vz[,h,cs,rho]
+    s_av = [next(it) for _ in range(6 if av else (3 if energy else 0))]
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
     if av:
         avx_ref, avy_ref, avz_ref = (next(it) for _ in range(3))
-    acc = list(it)      # [] when single-trip; 3 or 6 scratch otherwise
+    du_ref = next(it) if energy else None
+    acc = list(it)      # [] when single-trip; n_out scratch otherwise
     rows = [sx, sy, sz, sih, sm, scc] + s_av
 
     def per_group(k, o, nv):
@@ -413,8 +417,9 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
         tcv = tc[sl, :] if tc is not None else None
         tih4 = tihv * tihv
         tih4 = tih4 * tih4
-        if av:
+        if av or energy:
             tvxv, tvyv, tvzv = tvx[sl, :], tvy[sl, :], tvz[sl, :]
+        if av:
             thv, tcsv, trhov = th[sl, :], tcs[sl, :], trho[sl, :]
 
         def contrib(tiles, valid):
@@ -439,12 +444,14 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
             else:
                 coef = m_eff * (tcv + ccc) * (0.5 * (gw_i + gw_j))
             out = [dxx * coef, dxy * coef, dxz * coef]
-            if av:
-                cvx, cvy, cvz, ch, ccs, crho = tiles[6:12]
+            if av or energy:
+                cvx, cvy, cvz = tiles[6:9]
                 dvx = tvxv - cvx
                 dvy = tvyv - cvy
                 dvz = tvzv - cvz
                 vdotr = dvx * dxx + dvy * dxy + dvz * dxz
+            if av:
+                ch, ccs, crho = tiles[9:12]
                 hbar = 0.5 * (thv + ch)
                 mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
                 cbar = 0.5 * (tcsv + ccs)
@@ -461,6 +468,16 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
                     gs_av = 0.5 * (gw_i + gw_j)
                 cav = m_eff * pi_ij * gs_av
                 out += [dxx * cav, dxy * cav, dxz * cav]
+            if energy:
+                # conjugate energy equation, same per-pair quantities
+                # (ops/dense.pass2 docstring): pressure term + AV heating
+                if mode == "grad_h":
+                    du = tcv * (m_eff * gw_i) * vdotr
+                else:
+                    du = 0.5 * coef * vdotr
+                if av:
+                    du = du + 0.5 * cav * vdotr
+                out += [du]
             return out
 
         if acc:
@@ -484,28 +501,34 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, sign_bug, av_alpha,
             avx_ref[sl, :] = sums[3]
             avy_ref[sl, :] = sums[4]
             avz_ref[sl, :] = sums[5]
+        if energy:
+            du_ref[sl, :] = sums[-1]
 
     _groups(nv_ref, gb, b, per_group)
 
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
-          av_beta=0.0, gb=1):
+          av_beta=0.0, gb=1, energy=False):
     """Pressure-gradient sweep with precomputed per-particle coefficients.
 
     tgt cols: x,y,z,ih, then tc (absent for reference_asymmetric), then AV
-    (vx,vy,vz,h,cs,rho). src rows: x,y,z,ih,m,cc, then AV
-    (vx,vy,vz,h,cs,rho). Per-pair math:
+    (vx,vy,vz,h,cs,rho) or — energy without AV — just (vx,vy,vz). src
+    rows: x,y,z,ih,m,cc, then the matching AV/velocity rows. Per-pair
+    math:
       grad_h:  coef = m (tc gw_i + cc gw_j)        tc=cc=P/(Omega rho^2)
       symmetric: coef = m (tc + cc) gsym           tc=cc=P/rho^2
       asym:    coef = m cc gsym                    cc=P/rho
     Returns (gpx,gpy,gpz) — the caller applies the target-side rho scale —
-    plus (avx,avy,avz) when av=True (caller scales by trho as well).
+    plus (avx,avy,avz) when av=True (caller scales by trho as well), plus
+    the FULLY-SCALED specific-internal-energy rate du when energy=True
+    (cfg.eos_mode='adiabatic'; no caller scale — the pairwise forms in
+    ops/dense.pass2's docstring are complete as accumulated).
     """
     single = src[0].shape[1] == chunk
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
-                             sign_bug=sign_bug, av_alpha=av_alpha,
-                             av_beta=av_beta, gb=gb, b=b)
-    n_out = 6 if av else 3
+                             energy=energy, sign_bug=sign_bug,
+                             av_alpha=av_alpha, av_beta=av_beta, gb=gb, b=b)
+    n_out = (6 if av else 3) + (1 if energy else 0)
     return _call(kern, out_dtypes=[jnp.float32] * n_out, smem=[nv],
                  tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
                  n_acc=0 if single else n_out, gb=gb)

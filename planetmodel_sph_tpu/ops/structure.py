@@ -453,6 +453,8 @@ class BlockForces(NamedTuple):
     n_neighbors: jax.Array
     n_direct: jax.Array
     n_approx: jax.Array
+    du_dt: jax.Array         # specific-internal-energy rate (zeros unless
+                             # cfg.eos_mode='adiabatic'; AV heating folded in)
 
 
 class _Ctx(NamedTuple):
@@ -476,7 +478,7 @@ def _sort_set(grp, arrs):
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
               vel=None, src=None, target_offset=0,
-              sorted_io=False) -> _Ctx:
+              sorted_io=False, u=None) -> _Ctx:
     single = src is None
     need_vel = vel is not None
     tgrp = st.groups
@@ -488,14 +490,20 @@ def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
         t = dict(x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], h=h, m=mass)
         if need_vel:
             t.update(vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2])
+        if u is not None:
+            t["u"] = u
     else:
         tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
         if need_vel:
             tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
+        if u is not None:
+            tf += [u]
         tcols = _sort_set(tgrp, tf)
         t = dict(x=tcols[0], y=tcols[1], z=tcols[2], h=tcols[3], m=tcols[4])
         if need_vel:
             t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
+        if u is not None:
+            t["u"] = tcols[-1]
     t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
 
     if single:
@@ -756,7 +764,7 @@ def _unsort(st: BlockStructure, fields):
 
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
-           src=None, target_offset=0, gather_fn=None,
+           u=None, src=None, target_offset=0, gather_fn=None,
            sorted_io=False) -> BlockForces:
     """Full field evaluation against current fields.
 
@@ -769,6 +777,11 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     set, and `gather_fn` all-gathers a local per-particle field to the
     global set (needed to feed source densities/pressures to pass 2).
 
+    `u` (cfg.eos_mode='adiabatic'): specific internal energy of the TARGET
+    set — feeds the ideal-gas pressure and the AV sound speed, and turns
+    on the conjugate energy-equation accumulator in the pass-2 sweep
+    (du_dt in the result; see ops/dense.pass2 for the pairwise forms).
+
     `sorted_io`: inputs are already in the padded sorted [G*B] layout and
     outputs are returned in it (the cached runner keeps the whole state
     Morton-sorted between rebuilds so no per-step sort/unsort is paid).
@@ -779,14 +792,20 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     do_grav = cfg.gravity_solver == "tree"
     gradh = cfg.grad_p_mode == "grad_h"
     av = cfg.av_alpha > 0.0
+    energy = cfg.eos_mode == "adiabatic"
     if av and vel is None:
         raise ValueError("artificial viscosity needs velocities; pass vel=")
+    if energy and (u is None or vel is None):
+        raise ValueError("the adiabatic energy equation needs u and vel")
+    if energy and cfg.grad_p_mode == "reference_asymmetric":
+        raise ValueError("eos_mode='adiabatic' needs a momentum-conserving "
+                         "pressure form (see ops/dense.pass2)")
     if sorted_io and src is not None:
         raise ValueError("sorted_io is a single-set (non-dp) optimization")
 
-    ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av else None,
+    ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av or energy else None,
                     src=src, target_offset=target_offset,
-                    sorted_io=sorted_io)
+                    sorted_io=sorted_io, u=u)
     t, s = ctx.t, ctx.s
 
     # gather the geometry channels ONCE; pass 1 and pass 2 reuse the same
@@ -795,7 +814,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     # ---- pass 1: density (+ grad-h Omega) ----
     rho_t, nn_t, omega = _density_sweep(ctx, cfg, st, src1=geom_rows)
-    prs_t = eos_ops.pressure(rho_t, cfg.eos_k, cfg.eos_gamma)
+    prs_t = eos_ops.pressure_cfg(rho_t, cfg, u=t.get("u"))
 
     # ---- pass 2: pressure gradient (+ fused AV) ----
     # Per-particle coefficients are precomputed so the kernel sees ONE
@@ -826,14 +845,18 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         p_scale = rho_t
     s_extra = [to_src(cc)]
     if av:
-        cs_t = eos_ops.sound_speed(rho_t, cfg.eos_k, cfg.eos_gamma)
+        cs_t = eos_ops.sound_speed_cfg(rho_t, cfg, u=t.get("u"))
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t, rho_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t),
                     to_src(rho_t)]
+    elif energy:
+        # energy equation without AV still needs pairwise velocities
+        tgt2 += _cols(t["vx"], t["vy"], t["vz"])
+        s_extra += [s["vx"], s["vy"], s["vz"]]
     extra_rows = _sph_rows(s_extra, st, cfg, ctx.nb)
     outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
-        mode=cfg.grad_p_mode, av=av,
+        mode=cfg.grad_p_mode, av=av, energy=energy,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
         av_beta=cfg.av_beta, gb=cfg.kernel_gb)
     grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
@@ -841,8 +864,9 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         grad_p_t = grad_p_t * p_scale[:, None]
     if av:
         # the AV term always carries the target rho scale (all modes)
-        grad_p_t = grad_p_t + jnp.concatenate(outs[3:], axis=-1) \
+        grad_p_t = grad_p_t + jnp.concatenate(outs[3:6], axis=-1) \
             * rho_t[:, None]
+    du_t = outs[-1][:, 0] if energy else jnp.zeros_like(rho_t)
 
     # ---- gravity ----
     if do_grav:
@@ -857,12 +881,13 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         return BlockForces(
             rho=rho_t, pressure=prs_t, grad_p=grad_p_t, phi=phi_t,
             grad_phi=grad_phi_t, n_neighbors=nn_t, n_direct=nd_t,
-            n_approx=na_t)
-    rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o = _unsort(
-        st, [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t, nn_t, nd_t, na_t])
+            n_approx=na_t, du_dt=du_t)
+    (rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o,
+     du_o) = _unsort(st, [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t,
+                          nn_t, nd_t, na_t, du_t])
     return BlockForces(
         rho=rho_o, pressure=prs_o, grad_p=gp_o, phi=phi_o, grad_phi=gphi_o,
-        n_neighbors=nn_o, n_direct=nd_o, n_approx=na_o)
+        n_neighbors=nn_o, n_direct=nd_o, n_approx=na_o, du_dt=du_o)
 
 
 def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,

@@ -51,51 +51,66 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
     if st is not None and cfg.neighbor_mode != "grid":
         raise ValueError("frozen structures are a grid-mode optimization")
 
-    def forces(pos, h, mass, vel=None):
+    def forces(pos, h, mass, vel=None, u=None):
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
         gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
         av = cfg.av_alpha > 0.0
+        energy = cfg.eos_mode == "adiabatic"
         pos_g, h_g, mass_g = gather(pos), gather(h), gather(mass)
         src3 = (pos_g, h_g, mass_g)
 
         if cfg.neighbor_mode == "grid":
             from ..ops import structure
-            src = src3 + ((gather(vel),) if av and vel is not None else ())
+            need_vel = (av or energy) and vel is not None
+            src = src3 + ((gather(vel),) if need_vel else ())
             st_ = st if st is not None else structure.build(
                 pos, h, mass, cfg, src=src3, target_offset=off)
             bf = structure.forces(pos, h, mass, cfg, st_,
-                                  vel=vel if av else None, src=src,
-                                  target_offset=off, gather_fn=gather)
+                                  vel=vel if need_vel else None, u=u,
+                                  src=src, target_offset=off,
+                                  gather_fn=gather)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
             return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
                                  bf.grad_phi, bf.n_neighbors, bf.n_direct,
-                                 bf.n_approx, accel, h)
+                                 bf.n_approx, accel, h, bf.du_dt)
 
         av_extra = None
+        du_dt = None
         if cfg.grad_p_mode == "grad_h":
             rho, omega, nn = dense.density_gradh(pos, h, mass, cfg,
                                                  src=src3, target_offset=off)
-            prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+            prs = eos_ops.pressure_cfg(rho, cfg, u=u)
             om_safe = jnp.maximum(omega, 0.1)
             coef = prs / (om_safe * jnp.where(rho > 0, rho, 1.0) ** 2)
-            grad_p = dense.pass2_gradh(
+            p2 = dense.pass2_gradh(
                 pos, h, mass, rho, omega, prs, cfg,
-                src=src3 + (gather(coef),), target_offset=off)
+                src=src3 + (gather(coef),), target_offset=off,
+                energy=energy, vel=vel,
+                vel_src=gather(vel) if energy else None)
+            grad_p, du_dt = p2 if energy else (p2, None)
             if av:
-                av_extra = dense.viscosity_accel(
+                va = dense.viscosity_accel(
                     pos, vel, h, mass, rho, cfg,
                     src=(pos_g, gather(vel), h_g, mass_g, gather(rho)),
-                    target_offset=off)
+                    target_offset=off, energy=energy, u=u,
+                    u_src=gather(u) if energy else None)
+                if energy:
+                    av_extra, av_du = va
+                    du_dt = du_dt + av_du
+                else:
+                    av_extra = va
         else:
             p1 = dense.pass1(pos, h, mass, cfg, src=src3, target_offset=off)
             rho, nn = p1.rho, p1.n_neighbors
-            prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+            prs = eos_ops.pressure_cfg(rho, cfg, u=u)
             src5 = src3 + (gather(rho), gather(prs))
-            if av and vel is not None:
+            if (av or energy) and vel is not None:
                 src5 = src5 + (gather(vel),)
-            grad_p = dense.pass2(pos, h, mass, rho, prs, cfg, src=src5,
-                                 target_offset=off, vel=vel)
+            p2 = dense.pass2(pos, h, mass, rho, prs, cfg, src=src5,
+                             target_offset=off, vel=vel, energy=energy,
+                             u=u, u_src=gather(u) if energy else None)
+            grad_p, du_dt = p2 if energy else (p2, None)
 
         if cfg.gravity_solver == "tree":
             from ..ops import structure
@@ -120,8 +135,10 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
         accel = -grad_p / rho[:, None] - grad_phi
         if av_extra is not None:
             accel = accel + av_extra
+        if du_dt is None:
+            du_dt = jnp.zeros_like(rho)
         return planet.Forces(rho, prs, grad_p, phi, grad_phi, nn,
-                             n_direct, n_approx, accel, h)
+                             n_direct, n_approx, accel, h, du_dt)
 
     return forces
 

@@ -73,10 +73,12 @@ def load(path: str):
                               f"(rc={got})")
             out[spec["name"]] = a
         import jax.numpy as jnp
-        state = ParticleState(**{k: jnp.asarray(v) for k, v in out.items()})
         known = {f.name for f in dataclasses.fields(SimConfig)}
         cfg = SimConfig(**{k: v for k, v in header["config"].items()
                            if k in known})
+        from ..utils.checkpoint import _fill_missing
+        state = _fill_missing({k: jnp.asarray(v) for k, v in out.items()},
+                              cfg)
         return state, cfg, int(header["step"])
     finally:
         lib.psph_reader_close(r)

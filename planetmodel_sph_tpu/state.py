@@ -47,6 +47,11 @@ class ParticleState:
     n_approx [N]    ``GravityField.numApprox``   (M2P multipole terms used)
     accel [N,3]     carried acceleration for leapfrog KDK (no reference
                     analog; the reference re-derives dv/dt in VelocitySystem)
+    u [N]           specific internal energy (no reference analog: evolved
+                    only under cfg.eos_mode='adiabatic'; carried but unused
+                    for the reference's barotropic EOS)
+    du_dt [N]       carried du/dt for the KDK energy half-kicks (the u
+                    analog of `accel`; zero when eos_mode='polytropic')
     ==============  =====================================================
     """
 
@@ -63,6 +68,8 @@ class ParticleState:
     n_direct: jax.Array
     n_approx: jax.Array
     accel: jax.Array
+    u: jax.Array
+    du_dt: jax.Array
 
     @property
     def n(self) -> int:
@@ -82,5 +89,5 @@ def zeros(config: SimConfig) -> ParticleState:
     return ParticleState(
         pos=v3, vel=v3, mass=v1, h=v1, rho=v1, pressure=v1, grad_p=v3,
         phi=v1, grad_phi=v3, n_neighbors=i1, n_direct=i1, n_approx=i1,
-        accel=v3,
+        accel=v3, u=v1, du_dt=v1,
     )

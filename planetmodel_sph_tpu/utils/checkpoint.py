@@ -60,5 +60,20 @@ def load(path: str):
         fields = {
             f.name: jax.numpy.asarray(z[f.name])
             for f in dataclasses.fields(ParticleState)
+            if f.name in z
         }
-    return ParticleState(**fields), cfg, step
+    return _fill_missing(fields, cfg), cfg, step
+
+
+def _fill_missing(fields: dict, cfg: SimConfig) -> ParticleState:
+    """Back-fill state fields absent from older checkpoints (e.g. the
+    thermal channel u/du_dt predates some archives): u from the polytropic
+    relation at the stored density — the same initialization the ICs use —
+    and du_dt zero."""
+    from ..ops import eos as eos_ops
+    if "u" not in fields:
+        fields["u"] = eos_ops.internal_energy(fields["rho"], cfg.eos_k,
+                                              cfg.eos_gamma)
+    if "du_dt" not in fields:
+        fields["du_dt"] = jax.numpy.zeros_like(fields["rho"])
+    return ParticleState(**fields)

@@ -26,7 +26,10 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
     v2 = jnp.sum(state.vel * state.vel, axis=-1)
     ke = 0.5 * jnp.sum(m * v2)
     pe = 0.5 * jnp.sum(m * state.phi)
-    u = eos_ops.internal_energy(state.rho, cfg.eos_k, cfg.eos_gamma)
+    # adiabatic: the EVOLVED thermal state; polytropic: the barotropic
+    # u(rho) consistent with the reference's implied thermodynamics
+    u = state.u if cfg.eos_mode == "adiabatic" else \
+        eos_ops.internal_energy(state.rho, cfg.eos_k, cfg.eos_gamma)
     e_int = jnp.sum(m * u)
 
     mom = jnp.sum(m[:, None] * state.vel, axis=0)

@@ -172,3 +172,26 @@ def test_dp_cached_collision_geometry_matches_single_chip():
     np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
                                rtol=2e-3)
     assert bool(jnp.all(jnp.isfinite(out.vel)))
+
+
+@pytest.mark.parametrize("nbr", ["dense", "grid"])
+@pytest.mark.parametrize("mode", ["symmetric", "grad_h"])
+def test_dp_adiabatic_matches_single_chip(mode, nbr):
+    """The internal-energy equation under dp: u evolution on sharded
+    targets over all-gathered sources must match single-chip."""
+    cfg = psph.default(n=256, radius=10.0, particle_radius=2.2, block_n=64,
+                       gravity_solver="direct" if nbr == "dense" else "tree",
+                       grad_p_mode=mode, eos_mode="adiabatic",
+                       av_alpha=1.0, av_beta=2.0, neighbor_mode=nbr,
+                       nbr_group_size=32, nbr_window=192, p2p_window=192,
+                       m2p_window=192, nbr_group_level=2)
+    st = planet.prime(ics.jupiter(cfg), cfg)
+    ref = planet.step(st, cfg)
+    mesh = mesh_mod.make_mesh(8)
+    out = dp.make_step(cfg, mesh)(mesh_mod.shard_state(st, mesh))
+    for name in ("pos", "vel", "rho", "u", "du_dt"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = np.max(np.abs(b)) or 1.0
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-4 * scale,
+                                   err_msg=f"{name} ({mode}, {nbr})")
