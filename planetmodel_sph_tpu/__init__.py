@@ -9,7 +9,7 @@ parallelism over a device mesh for multi-chip scaling.
 
 from . import config, state  # noqa: F401
 from .config import (  # noqa: F401
-    SimConfig, auto, default, jupiter_3k, jupiter_100k, parity,
+    SimConfig, auto, basalt_impact, default, jupiter_3k, jupiter_100k, parity,
 )
 from .state import ParticleState  # noqa: F401
 

@@ -28,6 +28,7 @@ _PRESETS = {
     "parity": config_mod.parity,
     "jupiter_3k": config_mod.jupiter_3k,
     "jupiter_100k": config_mod.jupiter_100k,
+    "basalt_impact": config_mod.basalt_impact,
 }
 
 _ICS = {

@@ -50,6 +50,15 @@ def uniform_sphere(key, n, radius, dtype=jnp.float32, method="rejection"):
     return pts[order[:n]]
 
 
+def _init_u(cfg: SimConfig, rho):
+    """IC thermal state: the cold material energy cfg.u0 (tillotson), or
+    the polytropic relation at the IC density (adiabatic starts pressure-
+    consistent with the reference's barotropic EOS; inert otherwise)."""
+    if cfg.eos_mode == "tillotson":
+        return jnp.full_like(rho, cfg.u0)
+    return eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma)
+
+
 def jupiter(cfg: SimConfig) -> ParticleState:
     """The reference scene: cold uniform ball of gas, at rest.
 
@@ -82,7 +91,7 @@ def jupiter(cfg: SimConfig) -> ParticleState:
         # thermal state matching the polytropic relation at the IC density
         # (so an adiabatic run starts pressure-consistent with the
         # reference's barotropic EOS at t=0)
-        u=eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma),
+        u=_init_u(cfg, rho),
         du_dt=zeros1,
     )
 
@@ -140,7 +149,7 @@ def polytrope(cfg: SimConfig, rho_floor_frac: float = 0.01) -> ParticleState:
         grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
         n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
         accel=zeros3,
-        u=eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma),
+        u=_init_u(cfg, rho),
         du_dt=zeros1,
     )
 

@@ -76,7 +76,7 @@ def current_dt(state: ParticleState, cfg: SimConfig):
     live = state.mass > 0.0
     cs = eos_ops.sound_speed_cfg(
         jnp.maximum(state.rho, 1e-30), cfg,
-        u=state.u if cfg.eos_mode == "adiabatic" else None)
+        u=state.u if cfg.evolves_u else None)
     v = jnp.sqrt(jnp.sum(state.vel * state.vel, axis=-1))
     a = jnp.sqrt(jnp.sum(state.accel * state.accel, axis=-1))
     big = jnp.asarray(3e30, state.pos.dtype)
@@ -102,7 +102,7 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None) -> Forces:
     block pipeline (ops/structure.py); this is the uncached path
     (structures built fresh, zero skin).
     """
-    energy = cfg.eos_mode == "adiabatic"
+    energy = cfg.evolves_u
     if energy and u is None:
         raise ValueError("eos_mode='adiabatic' needs the internal energy; "
                          "pass u= to compute_forces")
@@ -205,7 +205,7 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
             if cfg.h_max > 0.0:
                 h = jnp.minimum(h, cfg.h_max)
 
-    energy = cfg.eos_mode == "adiabatic"
+    energy = cfg.evolves_u
     rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
     prs = eos_ops.pressure_cfg(rho, cfg, u=u)
     if energy:
@@ -267,7 +267,7 @@ def _default_forces(cfg: SimConfig):
 def _forces_kw(cfg: SimConfig, u):
     """Thread u into a forces_fn only under the adiabatic EOS, so custom
     closures that predate the energy equation keep working unchanged."""
-    return {"u": u} if cfg.eos_mode == "adiabatic" else {}
+    return {"u": u} if cfg.evolves_u else {}
 
 
 def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
@@ -291,9 +291,9 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
     out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
-    if cfg.eos_mode == "adiabatic":
+    if cfg.evolves_u:
         # forward-Euler u update matching the staggered v update
-        out = out.replace(u=jnp.maximum(state.u + dt * f.du_dt, 0.0))
+        out = out.replace(u=state.u + dt * f.du_dt)
     return out
 
 
@@ -301,24 +301,31 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
              forces_fn=None, update_smoothing=True) -> ParticleState:
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step.
 
-    Under the adiabatic EOS the internal energy gets the same half-kick
+    Under an evolved-u EOS the internal energy gets the same half-kick
     treatment as the velocity (state.du_dt carries du/dt(x_n)): the force
-    evaluation at x_{n+1} sees u at the half step, mirroring v_half."""
+    evaluation at x_{n+1} sees u at the half step, mirroring v_half.
+
+    u is deliberately NOT floored at 0: the Tillotson cold-pressure term
+    keeps doing expansion work as u -> 0, so a floor would inject energy
+    every clamp event (measured +15% through a basalt impact, dt-
+    independent). Instead u may run a small negative "energy debt" — the
+    EOS functions clamp u >= 0 internally for evaluation, so pressure
+    stays physical while the conserved ledger sum(m u) stays exact (the
+    standard Tillotson treatment, cf. Benz & Asphaug 1999)."""
     forces_fn = forces_fn or _default_forces(cfg)
-    adiabatic = cfg.eos_mode == "adiabatic"
+    adiabatic = cfg.evolves_u
     dt = current_dt(state, cfg)
     v_half = state.vel if cfg.freeze_velocity \
         else state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
-    u_half = jnp.maximum(state.u + 0.5 * dt * state.du_dt, 0.0) \
-        if adiabatic else state.u
+    u_half = state.u + 0.5 * dt * state.du_dt if adiabatic else state.u
     f = forces_fn(pos, h, state.mass, vel=v_half, **_forces_kw(cfg, u_half))
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
     if adiabatic:
-        out = out.replace(u=jnp.maximum(u_half + 0.5 * dt * f.du_dt, 0.0))
+        out = out.replace(u=u_half + 0.5 * dt * f.du_dt)
     return out
 
 
@@ -380,7 +387,7 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
     if cfg.neighbor_mode == "grid":
         return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
                              solve_h=False)
-    energy = cfg.eos_mode == "adiabatic"
+    energy = cfg.evolves_u
     av_extra = None
     du_dt = None
     if cfg.grad_p_mode == "grad_h":
@@ -481,10 +488,10 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
         return carry.st
 
     st = jax.lax.cond(rebuild, do_build, keep, None)
-    adiabatic = cfg.eos_mode == "adiabatic"
+    adiabatic = cfg.evolves_u
     u_half = state.u
     if adiabatic and cfg.integrator != "staggered_euler":
-        u_half = jnp.maximum(state.u + 0.5 * dt * state.du_dt, 0.0)
+        u_half = state.u + 0.5 * dt * state.du_dt
     # KDK evaluates forces at the post-drift position with the half-step
     # velocity (matching step_kdk); staggered uses the pre-step velocity
     f = _forces_cached(eval_pos, h, state.mass, cfg, st,
@@ -494,13 +501,11 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
         vel = state.vel if cfg.freeze_velocity else state.vel + f.accel * dt
-        u_new = jnp.maximum(state.u + dt * f.du_dt, 0.0) if adiabatic \
-            else state.u
+        u_new = state.u + dt * f.du_dt if adiabatic else state.u
     else:
         pos = eval_pos
         vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
-        u_new = jnp.maximum(u_half + 0.5 * dt * f.du_dt, 0.0) if adiabatic \
-            else state.u
+        u_new = u_half + 0.5 * dt * f.du_dt if adiabatic else state.u
     new_state = _apply_forces(state, f).replace(pos=pos,
                                                 vel=_damp(vel, dt, cfg), h=h,
                                                 u=u_new)

@@ -417,7 +417,7 @@ def pass2(
         vel_t = _pad_to(vel, n_pad, 0.0)
     else:
         vel_t = jnp.zeros((n_pad, 3), pos.dtype)
-    if energy and cfg.eos_mode == "adiabatic":
+    if energy and cfg.evolves_u:
         u_t = _pad_to(u, n_pad, 0.0)
     else:
         u_t = jnp.zeros((n_pad,), pos.dtype)

@@ -32,25 +32,116 @@ def sound_speed(rho, k: float, gamma: float = 2.0):
     return jnp.sqrt(gamma * k * jnp.power(rho, gamma - 1.0))
 
 
-# --- cfg-aware forms (polytropic vs adiabatic; u ignored when polytropic) ---
+# ---------------------------------------------------------------------------
+# Tillotson (1962) material EOS — the standard for planetary impact SPH.
+# Constants (cgs: g/cm^3, dyne/cm^2, erg/g) from Benz & Asphaug (1999)
+# table 1 and Melosh (1989) appendix II. New capability beyond the
+# reference; pairs with the evolved internal energy (eos_mode='tillotson').
+# ---------------------------------------------------------------------------
+
+TILLOTSON_MATERIALS = {
+    #          rho0     a     b     A        B        e0       e_iv     e_cv     alpha beta
+    "basalt": (2.700, 0.50, 1.50, 2.67e11, 2.67e11, 4.87e12, 4.72e10, 1.82e11, 5.0, 5.0),
+    "granite": (2.680, 0.50, 1.30, 1.80e11, 1.80e11, 1.60e11, 3.50e10, 1.80e11, 5.0, 5.0),
+    "iron":   (7.860, 0.50, 1.50, 1.28e12, 1.05e12, 9.50e10, 1.42e10, 8.45e10, 5.0, 5.0),
+    "ice":    (0.917, 0.30, 0.10, 9.47e10, 9.47e10, 1.00e11, 7.73e9,  3.04e10, 10.0, 5.0),
+    "water":  (0.998, 0.70, 0.15, 2.18e10, 1.33e11, 7.00e10, 4.19e9,  2.69e10, 10.0, 5.0),
+}
+
+# Cold-expanded cutoff: below this compression ratio the condensed branch's
+# tension term is unphysical (fractured/rarefied material holds no tension);
+# the standard fix (e.g. Reinhardt & Stadel 2017) clamps P >= 0 there.
+TILLOTSON_ETA_FLOOR = 0.8
+
+
+def tillotson_pressure(rho, u, material: str = "basalt"):
+    """P(rho, u) with the three-branch Tillotson form:
+
+    condensed (rho >= rho0, or u <= e_iv):
+        Pc = (a + b/w) rho u + A mu + B mu^2,   w = u/(e0 eta^2) + 1
+    expanded (rho < rho0 and u >= e_cv):
+        Pe = a rho u + [b rho u / w + A mu exp(-beta x)] exp(-alpha x^2),
+        x = rho0/rho - 1
+    hybrid (rho < rho0, e_iv < u < e_cv): linear interpolation in u.
+
+    Fully elementwise and branch-free (jnp.where), so jax.jvp gives the
+    exact partials for the sound speed. rho is floored at 1e-30 to keep
+    the expanded exponentials finite at vacuum.
+    """
+    rho0, a, b, A, B, e0, e_iv, e_cv, alpha, beta = \
+        TILLOTSON_MATERIALS[material]
+    rho = jnp.maximum(rho, 1e-30)
+    u = jnp.maximum(u, 0.0)
+    eta = rho / rho0
+    mu = eta - 1.0
+    # eta floor + x clamp: at vacuum densities eta^2 underflows f32 (w ->
+    # inf) and x^2 overflows (exp chain -> 0*inf NaN under jvp); both
+    # clamps are inert for eta > ~1e-8 and the clamped exponentials are
+    # exactly 0 at f32 precision anyway
+    eta_s = jnp.maximum(eta, 1e-8)
+    w = u / (e0 * eta_s * eta_s) + 1.0
+    pc = (a + b / w) * rho * u + A * mu + B * mu * mu
+    # cold-expanded: no tension in rarefied material
+    pc = jnp.where((eta < TILLOTSON_ETA_FLOOR) & (u < e_cv),
+                   jnp.maximum(pc, 0.0), pc)
+    x = jnp.minimum(rho0 / rho - 1.0, 100.0)
+    decay = jnp.exp(-alpha * x * x)
+    pe = a * rho * u + (b * rho * u / w
+                        + A * mu * jnp.exp(-beta * x)) * decay
+    t = jnp.clip((u - e_iv) / (e_cv - e_iv), 0.0, 1.0)
+    hybrid = (1.0 - t) * pc + t * pe
+    return jnp.where(rho >= rho0, pc,
+                     jnp.where(u <= e_iv, pc,
+                               jnp.where(u >= e_cv, pe, hybrid)))
+
+
+def tillotson_sound_speed(rho, u, material: str = "basalt"):
+    """c_s = sqrt(dP/drho|u + (P/rho^2) dP/du|rho), the adiabatic sound
+    speed, with the exact partials from jax.jvp on the pressure form.
+    Floored at 1e-3 * sqrt(A/rho0) (a fraction of the cold bulk sound
+    speed) so AV and the CFL criterion stay defined in tension/vacuum."""
+    import jax
+    rho0, a, b, A = TILLOTSON_MATERIALS[material][:4]
+    # higher floor than the pressure's: rho^2 in the P/rho^2 dP/du term
+    # must not underflow f32 (1e-30^2 -> 0 -> 0/0 NaN); the cs floor
+    # dominates at these densities anyway
+    rho = jnp.maximum(rho, 1e-12)
+    u = jnp.maximum(u, 0.0)
+    p = tillotson_pressure(rho, u, material)
+    _, dp_drho = jax.jvp(lambda r: tillotson_pressure(r, u, material),
+                         (rho,), (jnp.ones_like(rho),))
+    _, dp_du = jax.jvp(lambda e: tillotson_pressure(rho, e, material),
+                       (u,), (jnp.ones_like(u),))
+    cs2 = dp_drho + p / (rho * rho) * dp_du
+    cs2_floor = 1e-6 * A / rho0
+    return jnp.sqrt(jnp.maximum(cs2, cs2_floor))
+
+
+# --- cfg-aware forms (u ignored when polytropic) ---
 
 def pressure_cfg(rho, cfg, u=None):
     """P from the configured EOS. 'adiabatic' (cfg.eos_mode) is the ideal
-    gas P = (gamma-1) rho u with u the EVOLVED specific internal energy
-    (state.u); 'polytropic' is the reference's barotropic P = K rho^gamma."""
+    gas P = (gamma-1) rho u; 'tillotson' the material EOS above — both
+    with u the EVOLVED specific internal energy (state.u). 'polytropic'
+    is the reference's barotropic P = K rho^gamma."""
+    if cfg.evolves_u and u is None:
+        raise ValueError(f"{cfg.eos_mode} EOS needs the internal energy u")
     if cfg.eos_mode == "adiabatic":
-        if u is None:
-            raise ValueError("adiabatic EOS needs the internal energy u")
         return (cfg.eos_gamma - 1.0) * rho * jnp.maximum(u, 0.0)
+    if cfg.eos_mode == "tillotson":
+        return tillotson_pressure(rho, u, cfg.material)
     return pressure(rho, cfg.eos_k, cfg.eos_gamma)
 
 
 def sound_speed_cfg(rho, cfg, u=None):
     """c_s for the configured EOS: adiabatic sqrt(gamma (gamma-1) u),
-    polytropic sqrt(gamma K rho^(gamma-1)). Floor-safe for u=0/rho=0."""
+    tillotson from the exact partials, polytropic
+    sqrt(gamma K rho^(gamma-1)). Floor-safe for u=0/rho=0."""
+    if cfg.evolves_u and u is None:
+        raise ValueError(f"{cfg.eos_mode} EOS needs the internal energy u")
     if cfg.eos_mode == "adiabatic":
-        if u is None:
-            raise ValueError("adiabatic EOS needs the internal energy u")
         return jnp.sqrt(cfg.eos_gamma * (cfg.eos_gamma - 1.0)
                         * jnp.maximum(u, 0.0))
+    if cfg.eos_mode == "tillotson":
+        return tillotson_sound_speed(rho, u, cfg.material)
     return sound_speed(jnp.maximum(rho, 0.0), cfg.eos_k, cfg.eos_gamma)

@@ -792,7 +792,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     do_grav = cfg.gravity_solver == "tree"
     gradh = cfg.grad_p_mode == "grad_h"
     av = cfg.av_alpha > 0.0
-    energy = cfg.eos_mode == "adiabatic"
+    energy = cfg.evolves_u
     if av and vel is None:
         raise ValueError("artificial viscosity needs velocities; pass vel=")
     if energy and (u is None or vel is None):

@@ -56,7 +56,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
         off = jax.lax.axis_index(axis) * local_n
         gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
         av = cfg.av_alpha > 0.0
-        energy = cfg.eos_mode == "adiabatic"
+        energy = cfg.evolves_u
         pos_g, h_g, mass_g = gather(pos), gather(h), gather(mass)
         src3 = (pos_g, h_g, mass_g)
 

@@ -21,6 +21,14 @@ from ..state import ParticleState
 from ..ops import eos as eos_ops
 
 
+def _safe_norm(x):
+    """|x| without squaring in f32: cgs momenta reach ~1e19 g cm/s, whose
+    square overflows f32 (observed as momentum_mag=inf in a basalt-impact
+    run). Scale by the max component first."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30)
+    return s * jnp.sqrt(jnp.sum((x / s) ** 2))
+
+
 def measure(state: ParticleState, cfg: SimConfig) -> dict:
     m = state.mass
     v2 = jnp.sum(state.vel * state.vel, axis=-1)
@@ -28,7 +36,7 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
     pe = 0.5 * jnp.sum(m * state.phi)
     # adiabatic: the EVOLVED thermal state; polytropic: the barotropic
     # u(rho) consistent with the reference's implied thermodynamics
-    u = state.u if cfg.eos_mode == "adiabatic" else \
+    u = state.u if cfg.evolves_u else \
         eos_ops.internal_energy(state.rho, cfg.eos_k, cfg.eos_gamma)
     e_int = jnp.sum(m * u)
 
@@ -52,7 +60,7 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
         "internal_energy": e_int,
         "total_energy": ke + pe + e_int,
         "momentum_x": mom[0], "momentum_y": mom[1], "momentum_z": mom[2],
-        "momentum_mag": jnp.linalg.norm(mom),
+        "momentum_mag": _safe_norm(mom),
         "angular_momentum_z": ang[2],
         "radius_rms": jnp.sqrt(jnp.mean(r * r)),
         "radius_max": jnp.max(r),
@@ -68,7 +76,8 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
     }
     # CFL diagnostic (new capability): the stable timestep bound
     # dt < C h / (c_s + |v|); the reference runs blind at fixed dt=0.02
-    cs = eos_ops.sound_speed(state.rho, cfg.eos_k, cfg.eos_gamma)
+    cs = eos_ops.sound_speed_cfg(jnp.maximum(state.rho, 1e-30), cfg,
+                                 u=state.u if cfg.evolves_u else None)
     dt_cfl = state.h / (cs + jnp.sqrt(v2) + 1e-30)
     out["dt_cfl_min"] = jnp.min(dt_cfl)
     out["cfl_number"] = cfg.dt / jnp.maximum(jnp.min(dt_cfl), 1e-30)
