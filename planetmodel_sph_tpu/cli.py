@@ -35,6 +35,7 @@ _ICS = {
     "jupiter": ics.jupiter,
     "two_planet_collision": ics.two_planet_collision,
     "rotating_planet": ics.rotating_planet,
+    "differentiated_planet": ics.differentiated_planet,
 }
 
 
@@ -42,10 +43,23 @@ def _make_ic(args, cfg):
     if args.ic == "rotating_planet":
         return ics.rotating_planet(cfg, omega=args.omega)
     if args.ic == "two_planet_collision":
+        mats = None
+        if getattr(args, "materials", None):
+            mats = tuple(args.materials.split(","))
+            if len(mats) != 2:
+                raise SystemExit("--materials wants two comma-separated "
+                                 "names, e.g. basalt,ice")
         return ics.two_planet_collision(
             cfg, separation=args.separation,
             approach_speed=args.approach_speed,
-            impact_parameter=args.impact_parameter)
+            impact_parameter=args.impact_parameter,
+            materials=mats)
+    if args.ic == "differentiated_planet":
+        kw = {}
+        if getattr(args, "materials", None):
+            core, mantle = args.materials.split(",")
+            kw = {"core_material": core, "mantle_material": mantle}
+        return ics.differentiated_planet(cfg, **kw)
     return _ICS[args.ic](cfg)
 
 
@@ -339,11 +353,16 @@ def main(argv=None) -> int:
     pr.add_argument("--impact-parameter", type=float, default=0.0,
                     help="two_planet_collision: transverse offset "
                          "(off-axis impacts)")
-    pr.add_argument("--eos", choices=("polytropic", "adiabatic"),
+    pr.add_argument("--eos", choices=("polytropic", "adiabatic", "tillotson"),
                     default=None,
-                    help="EOS: the reference's barotropic P=K rho^gamma, or "
+                    help="EOS: the reference's barotropic P=K rho^gamma, "
                          "ideal-gas P=(gamma-1) rho u with the internal "
-                         "energy evolved (shock heating; new capability)")
+                         "energy evolved (shock heating), or the Tillotson "
+                         "material EOS (planetary impacts; new capability)")
+    pr.add_argument("--materials", default=None, metavar="A,B",
+                    help="tillotson material pair: two_planet_collision "
+                         "body materials, or differentiated_planet "
+                         "core,mantle (e.g. iron,basalt)")
     pr.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="generic SimConfig override (repeatable), e.g. "
                          "--set theta=0.9 --set multipole_order=2")

@@ -59,6 +59,11 @@ def _init_u(cfg: SimConfig, rho):
     return eos_ops.internal_energy(rho, cfg.eos_k, cfg.eos_gamma)
 
 
+def _init_matid(cfg: SimConfig, n: int):
+    """Uniform material ids from cfg.material (inert unless tillotson)."""
+    return jnp.full((n,), eos_ops.material_index(cfg.material), jnp.int32)
+
+
 def jupiter(cfg: SimConfig) -> ParticleState:
     """The reference scene: cold uniform ball of gas, at rest.
 
@@ -93,6 +98,7 @@ def jupiter(cfg: SimConfig) -> ParticleState:
         # reference's barotropic EOS at t=0)
         u=_init_u(cfg, rho),
         du_dt=zeros1,
+        matid=_init_matid(cfg, cfg.n),
     )
 
 
@@ -151,6 +157,7 @@ def polytrope(cfg: SimConfig, rho_floor_frac: float = 0.01) -> ParticleState:
         accel=zeros3,
         u=_init_u(cfg, rho),
         du_dt=zeros1,
+        matid=_init_matid(cfg, cfg.n),
     )
 
 
@@ -159,6 +166,7 @@ def two_planet_collision(
     separation: float = 150.0,
     approach_speed: float = 0.5,
     impact_parameter: float = 0.0,
+    materials=None,
 ) -> ParticleState:
     """Two Jupiter-like planets on a collision course (BASELINE config 4).
 
@@ -166,13 +174,34 @@ def two_planet_collision(
     cfg.n particles, odd n included) with mass proportional to count and a
     bulk velocity of +-approach_speed/2 along x; impact_parameter offsets
     them along y.
+
+    `materials` (tillotson only): per-body material names, e.g.
+    ("basalt", "ice") for a rock-on-ice impact. Each body's RADIUS is then
+    derived from its material's cold reference density (r_b such that the
+    body starts at rho0 — a body inheriting cfg.radius would start
+    compressed by rho_IC/rho0 and explode under the stiff cold-pressure
+    terms; masses stay count-proportional so particles are equal-mass
+    across both bodies).
     """
     n_a = (cfg.n + 1) // 2
     n_b = cfg.n - n_a
-    a = jupiter(cfg.replace(n=n_a, total_mass=cfg.total_mass * n_a / cfg.n,
-                            seed=cfg.seed))
-    b = jupiter(cfg.replace(n=n_b, total_mass=cfg.total_mass * n_b / cfg.n,
-                            seed=cfg.seed + 1))
+    mat_a, mat_b = materials if materials is not None \
+        else (cfg.material, cfg.material)
+
+    def body_cfg(nn, mat, seed):
+        c = cfg.replace(n=nn, total_mass=cfg.total_mass * nn / cfg.n,
+                        seed=seed, material=mat)
+        if materials is not None and cfg.eos_mode == "tillotson":
+            rho0 = float(eos_ops.material_rho0(mat))
+            r = (3.0 * c.total_mass / (4.0 * float(jnp.pi) * rho0)) \
+                ** (1.0 / 3.0)
+            c = c.replace(radius=r,
+                          particle_radius=cfg.particle_radius
+                          * r / cfg.radius)
+        return c
+
+    a = jupiter(body_cfg(n_a, mat_a, cfg.seed))
+    b = jupiter(body_cfg(n_b, mat_b, cfg.seed + 1))
 
     dx = jnp.asarray([separation / 2, impact_parameter / 2, 0.0], a.pos.dtype)
     dv = jnp.asarray([approach_speed / 2, 0.0, 0.0], a.pos.dtype)
@@ -183,6 +212,81 @@ def two_planet_collision(
     return jax.tree.map(cat, a, b).replace(
         pos=cat(a.pos - dx, b.pos + dx),
         vel=cat(a.vel + dv, b.vel - dv),
+    )
+
+
+def differentiated_planet(
+    cfg: SimConfig,
+    core_material: str = "iron",
+    mantle_material: str = "basalt",
+    core_mass_frac: float = 0.3,
+) -> ParticleState:
+    """Differentiated body: a dense core inside a lighter mantle
+    (tillotson EOS; the classic planetary-collision IC, cf. Benz &
+    Asphaug 1999).
+
+    Geometry is derived from the materials' cold reference densities so
+    the body starts pressure-free: V_core = f M / rho0_core, the mantle
+    fills the rest at rho0_mantle, and the OUTER RADIUS OVERRIDES
+    cfg.radius (a cold Tillotson shell at rho != rho0 would start with
+    ~A-scale pressure and explode). Particle counts split proportional to
+    mass (equal-mass particles: SPH resolution follows mass), positions
+    uniform within each shell, u = cfg.u0, at rest.
+    """
+    if cfg.eos_mode != "tillotson":
+        raise ValueError("differentiated_planet needs eos_mode='tillotson' "
+                         "(materials define the density structure)")
+    dt = cfg.jnp_dtype
+    key = jax.random.PRNGKey(cfg.seed)
+    k_core, k_shell_u, k_shell_d, k_h = jax.random.split(key, 4)
+
+    rho_core = float(eos_ops.material_rho0(core_material))
+    rho_mant = float(eos_ops.material_rho0(mantle_material))
+    m_core_tot = core_mass_frac * cfg.total_mass
+    m_mant_tot = cfg.total_mass - m_core_tot
+    v_core = m_core_tot / rho_core
+    v_mant = m_mant_tot / rho_mant
+    four_pi_3 = 4.0 / 3.0 * float(jnp.pi)
+    r_core = (v_core / four_pi_3) ** (1.0 / 3.0)
+    r_out = ((v_core + v_mant) / four_pi_3) ** (1.0 / 3.0)
+
+    n_core = max(1, min(cfg.n - 1, round(cfg.n * core_mass_frac)))
+    n_mant = cfg.n - n_core
+
+    pos_core = uniform_sphere(k_core, n_core, r_core, dt)
+    # mantle shell: r = (r_core^3 + U (r_out^3 - r_core^3))^(1/3)
+    uu = jax.random.uniform(k_shell_u, (n_mant,), dt)
+    r = jnp.cbrt(r_core**3 + uu * (r_out**3 - r_core**3))
+    d = jax.random.normal(k_shell_d, (n_mant, 3), dt)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pos = jnp.concatenate([pos_core, r[:, None] * d], axis=0)
+
+    mass = jnp.concatenate([
+        jnp.full((n_core,), m_core_tot / n_core, dt),
+        jnp.full((n_mant,), m_mant_tot / n_mant, dt)])
+    rho = jnp.concatenate([jnp.full((n_core,), rho_core, dt),
+                           jnp.full((n_mant,), rho_mant, dt)])
+    matid = jnp.concatenate([
+        jnp.full((n_core,), eos_ops.material_index(core_material), jnp.int32),
+        jnp.full((n_mant,), eos_ops.material_index(mantle_material),
+                 jnp.int32)])
+
+    from .planet import h_eta
+    h = h_eta(cfg) * jnp.cbrt(mass / rho)
+    if cfg.h_max > 0.0:
+        h = jnp.minimum(h, cfg.h_max)
+
+    n = cfg.n
+    zeros3 = jnp.zeros((n, 3), dt)
+    zeros1 = jnp.zeros((n,), dt)
+    izeros = jnp.zeros((n,), jnp.int32)
+    u = jnp.full((n,), cfg.u0, dt)
+    return ParticleState(
+        pos=pos, vel=zeros3, mass=mass, h=h, rho=rho,
+        pressure=eos_ops.tillotson_pressure(rho, u, matid),
+        grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
+        n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
+        accel=zeros3, u=u, du_dt=zeros1, matid=matid,
     )
 
 

@@ -63,26 +63,34 @@ def update_h(h, n_neighbors, cfg: SimConfig):
     return h_next
 
 
-def current_dt(state: ParticleState, cfg: SimConfig):
+def current_dt(state: ParticleState, cfg: SimConfig, axis=None):
     """The timestep the next step will take (traced scalar).
 
     dt_mode='fixed': cfg.dt (the reference's constant 50 Hz step).
     dt_mode='cfl'  : Courant + force criteria from the state's last-step
     fields — dt = C * min_i( h_i/(c_i+|v_i|), sqrt(h_i/|a_i|) ), clipped to
     [cfg.dt_min, cfg.dt]. Dead/padded particles (rho=0) are excluded.
+
+    `axis`: mesh axis name when called inside shard_map (dp) — the min is
+    then pmin-reduced so every shard integrates with the SAME global dt
+    (a per-shard local min would silently desynchronize the shards).
     """
     if cfg.dt_mode == "fixed":
         return jnp.asarray(cfg.dt, state.pos.dtype)
     live = state.mass > 0.0
     cs = eos_ops.sound_speed_cfg(
         jnp.maximum(state.rho, 1e-30), cfg,
-        u=state.u if cfg.evolves_u else None)
+        u=state.u if cfg.evolves_u else None,
+        matid=state.matid if cfg.eos_mode == "tillotson" else None)
     v = jnp.sqrt(jnp.sum(state.vel * state.vel, axis=-1))
     a = jnp.sqrt(jnp.sum(state.accel * state.accel, axis=-1))
     big = jnp.asarray(3e30, state.pos.dtype)
     dt_c = jnp.where(live, state.h / (cs + v + 1e-30), big)
     dt_f = jnp.where(live, jnp.sqrt(state.h / jnp.maximum(a, 1e-30)), big)
-    dt = cfg.cfl_number * jnp.minimum(jnp.min(dt_c), jnp.min(dt_f))
+    local_min = jnp.minimum(jnp.min(dt_c), jnp.min(dt_f))
+    if axis is not None:
+        local_min = jax.lax.pmin(local_min, axis)
+    dt = cfg.cfl_number * local_min
     return jnp.clip(dt, cfg.dt_min, cfg.dt).astype(state.pos.dtype)
 
 
@@ -92,15 +100,17 @@ def h_eta(cfg: SimConfig) -> float:
                   / (4.0 * jnp.pi)) ** (1.0 / 3.0)) / cfg.kappa
 
 
-def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None) -> Forces:
+def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
+                   matid=None) -> Forces:
     """Full field evaluation at the given positions/smoothing lengths.
 
     `vel` is required only when artificial viscosity or the adiabatic
     energy equation is enabled; `u` (specific internal energy) only under
-    cfg.eos_mode='adiabatic'. Grid mode routes everything — sym/asym/
-    grad-h pressure, fused AV, block-tree gravity — through the unified
-    block pipeline (ops/structure.py); this is the uncached path
-    (structures built fresh, zero skin).
+    an evolved-u EOS; `matid` (per-particle material ids) only under
+    cfg.eos_mode='tillotson' with multi-material bodies. Grid mode routes
+    everything — sym/asym/grad-h pressure, fused AV, block-tree gravity —
+    through the unified block pipeline (ops/structure.py); this is the
+    uncached path (structures built fresh, zero skin).
     """
     energy = cfg.evolves_u
     if energy and u is None:
@@ -109,9 +119,11 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None) -> Forces:
     if cfg.neighbor_mode == "grid":
         from ..ops import structure
         st = structure.build(pos, h, mass, cfg)
-        return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u)
+        return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
+                             matid=matid)
     if cfg.grad_p_mode == "grad_h":
-        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel, u=u)
+        return _compute_forces_gradh(pos, h, mass, cfg, vel=vel, u=u,
+                                     matid=matid)
 
     from ..ops.pallas import pairwise
     use_pallas = cfg.use_pallas and pairwise._on_tpu() and not energy
@@ -128,13 +140,15 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None) -> Forces:
     if cfg.gravity_solver == "tree":
         phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
 
-    prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+    prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
     # AV (when enabled) is fused into pass 2 on both dense backends; the
     # adiabatic energy equation rides the same sweep (dense backend)
+    mkw = {"matid": matid} if matid is not None else {}
     if energy:
-        grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u)
+        grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u,
+                                  **mkw)
     else:
-        grad_p = grad_p_fn(rho, prs, cfg, vel=vel)
+        grad_p = grad_p_fn(rho, prs, cfg, vel=vel, **mkw)
         du_dt = jnp.zeros_like(rho)
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
@@ -152,7 +166,7 @@ def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
 
 
 def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
-                  solve_h=True, sorted_io=False) -> Forces:
+                  matid=None, solve_h=True, sorted_io=False) -> Forces:
     """Grid-mode force evaluation on the unified block pipeline.
 
     `solve_h`: run the bounded Newton h-solve (h_mode='newton') before the
@@ -167,7 +181,7 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
         h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
         st = structure.build(pos, h, mass, cfg)
     bf = structure.forces(pos, h, mass, cfg, st, vel=vel, u=u,
-                          sorted_io=sorted_io)
+                          matid=matid, sorted_io=sorted_io)
     accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
                   bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h,
@@ -189,7 +203,7 @@ def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
 
 
 def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
-                          u=None) -> Forces:
+                          u=None, matid=None) -> Forces:
     """Grad-h SPH (Springel & Hernquist 2002) on the dense pipeline.
 
     Gather-form density with Omega correction factors; optional fixed-point
@@ -207,7 +221,7 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
 
     energy = cfg.evolves_u
     rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-    prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+    prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
     if energy:
         grad_p, du_dt = dense.pass2_gradh(pos, h, mass, rho, omega, prs,
                                           cfg, energy=True, vel=vel)
@@ -233,7 +247,8 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
     if cfg.av_alpha > 0.0:
         if energy:
             av_acc, av_du = dense.viscosity_accel(pos, vel, h, mass, rho,
-                                                  cfg, energy=True, u=u)
+                                                  cfg, energy=True, u=u,
+                                                  matid=matid)
             accel = accel + av_acc
             du_dt = du_dt + av_du
         else:
@@ -259,34 +274,39 @@ def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
 
 
 def _default_forces(cfg: SimConfig):
-    def fn(pos, h, mass, vel=None, u=None):
-        return compute_forces(pos, h, mass, cfg, vel=vel, u=u)
+    def fn(pos, h, mass, vel=None, u=None, matid=None):
+        return compute_forces(pos, h, mass, cfg, vel=vel, u=u, matid=matid)
     return fn
 
 
-def _forces_kw(cfg: SimConfig, u):
-    """Thread u into a forces_fn only under the adiabatic EOS, so custom
-    closures that predate the energy equation keep working unchanged."""
-    return {"u": u} if cfg.evolves_u else {}
+def _forces_kw(cfg: SimConfig, u, matid=None):
+    """Thread u (and matid under tillotson) into a forces_fn only when the
+    EOS consumes them, so custom closures that predate the energy equation
+    keep working unchanged."""
+    kw = {"u": u} if cfg.evolves_u else {}
+    if cfg.eos_mode == "tillotson" and matid is not None:
+        kw["matid"] = matid
+    return kw
 
 
 def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
     """Evaluate forces once at the initial state (fills accel for KDK)."""
     forces_fn = forces_fn or _default_forces(cfg)
-    return _apply_forces(state, forces_fn(state.pos, state.h, state.mass,
-                                          vel=state.vel,
-                                          **_forces_kw(cfg, state.u)))
+    return _apply_forces(state, forces_fn(
+        state.pos, state.h, state.mass, vel=state.vel,
+        **_forces_kw(cfg, state.u, state.matid)))
 
 
 def step_staggered(state: ParticleState, cfg: SimConfig,
-                   forces_fn=None, update_smoothing=True) -> ParticleState:
+                   forces_fn=None, update_smoothing=True,
+                   axis=None) -> ParticleState:
     """Reference-ordered step (SURVEY.md §3.2)."""
     forces_fn = forces_fn or _default_forces(cfg)
-    dt = current_dt(state, cfg)
+    dt = current_dt(state, cfg, axis=axis)
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
     f = forces_fn(state.pos, h, state.mass, vel=state.vel,
-                  **_forces_kw(cfg, state.u))
+                  **_forces_kw(cfg, state.u, state.matid))
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
@@ -298,7 +318,8 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
-             forces_fn=None, update_smoothing=True) -> ParticleState:
+             forces_fn=None, update_smoothing=True,
+             axis=None) -> ParticleState:
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step.
 
     Under an evolved-u EOS the internal energy gets the same half-kick
@@ -314,14 +335,15 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
     standard Tillotson treatment, cf. Benz & Asphaug 1999)."""
     forces_fn = forces_fn or _default_forces(cfg)
     adiabatic = cfg.evolves_u
-    dt = current_dt(state, cfg)
+    dt = current_dt(state, cfg, axis=axis)
     v_half = state.vel if cfg.freeze_velocity \
         else state.vel + 0.5 * dt * state.accel
     pos = state.pos + dt * v_half
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
     u_half = state.u + 0.5 * dt * state.du_dt if adiabatic else state.u
-    f = forces_fn(pos, h, state.mass, vel=v_half, **_forces_kw(cfg, u_half))
+    f = forces_fn(pos, h, state.mass, vel=v_half,
+                  **_forces_kw(cfg, u_half, state.matid))
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
     if adiabatic:
@@ -329,10 +351,11 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
     return out
 
 
-def step(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState:
+def step(state: ParticleState, cfg: SimConfig, forces_fn=None,
+         axis=None) -> ParticleState:
     if cfg.integrator == "staggered_euler":
-        return step_staggered(state, cfg, forces_fn)
-    return step_kdk(state, cfg, forces_fn)
+        return step_staggered(state, cfg, forces_fn, axis=axis)
+    return step_kdk(state, cfg, forces_fn, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -383,22 +406,23 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
 
 
 def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
-                   u=None) -> Forces:
+                   u=None, matid=None) -> Forces:
     if cfg.neighbor_mode == "grid":
         return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
-                             solve_h=False)
+                             matid=matid, solve_h=False)
     energy = cfg.evolves_u
+    mkw = {"matid": matid} if matid is not None else {}
     av_extra = None
     du_dt = None
     if cfg.grad_p_mode == "grad_h":
         rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
-        prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+        prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
         if energy:
             grad_p, du_dt = dense.pass2_gradh(pos, h, mass, rho, omega,
                                               prs, cfg, energy=True, vel=vel)
             if cfg.av_alpha > 0.0:
                 av_extra, av_du = dense.viscosity_accel(
-                    pos, vel, h, mass, rho, cfg, energy=True, u=u)
+                    pos, vel, h, mass, rho, cfg, energy=True, u=u, **mkw)
                 du_dt = du_dt + av_du
         else:
             grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
@@ -412,12 +436,13 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
             p1 = dense.pass1(pos, h, mass, cfg)
             grad_p_fn = partial(dense.pass2, pos, h, mass)
         rho, nn = p1.rho, p1.n_neighbors
-        prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+        prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
         if energy:
             grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True,
-                                      u=u)
+                                      u=u, **mkw)
         else:
-            grad_p = grad_p_fn(rho, prs, cfg, vel=vel)  # AV fused if enabled
+            grad_p = grad_p_fn(rho, prs, cfg, vel=vel,
+                               **mkw)  # AV fused if enabled
 
     if cfg.gravity_solver == "tree":
         from ..ops import structure
@@ -451,7 +476,7 @@ def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     st = _build_caches(state.pos, state.h, state.mass, state.vel,
                        cfg, accel=state.accel)
     f = _forces_cached(state.pos, state.h, state.mass, cfg, st,
-                       vel=state.vel, u=state.u)
+                       vel=state.vel, u=state.u, matid=state.matid)
     return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32), st)
 
 
@@ -496,7 +521,7 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     # velocity (matching step_kdk); staggered uses the pre-step velocity
     f = _forces_cached(eval_pos, h, state.mass, cfg, st,
                        vel=state.vel if v_half is None else v_half,
-                       u=u_half)
+                       u=u_half, matid=state.matid)
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
@@ -559,12 +584,13 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
         # per-step layout moves (cfg.sorted_chunks)
         grp = st.groups
         run_state = _permute_state(state, grp.tgt_idx)
-        forces_fn = lambda p, hh, m, vel=None, u=None: _forces_block(
-            p, hh, m, cfg, st, vel=vel, u=u, solve_h=False, sorted_io=True)
+        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None: \
+            _forces_block(p, hh, m, cfg, st, vel=vel, u=u, matid=matid,
+                          solve_h=False, sorted_io=True)
     else:
         run_state = state
-        forces_fn = lambda p, hh, m, vel=None, u=None: _forces_cached(
-            p, hh, m, cfg, st, vel=vel, u=u)
+        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None: \
+            _forces_cached(p, hh, m, cfg, st, vel=vel, u=u, matid=matid)
     if _uses_block_cache(cfg):
         from ..ops import structure
         info = structure.overflow_info(st)

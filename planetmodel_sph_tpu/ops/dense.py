@@ -276,7 +276,7 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
 
 def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
                     src=None, target_offset=0, energy: bool = False,
-                    u=None, u_src=None):
+                    u=None, u_src=None, matid=None, matid_src=None):
     """Monaghan (1992) artificial-viscosity acceleration (blocked all-pairs).
 
     Pi_ij = (-alpha cbar mu + beta mu^2)/rhobar for approaching pairs,
@@ -301,10 +301,11 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
     if src is None:
         src = (pos, vel, h, mass, rho)
         u_src = u
+        matid_src = matid
     pos_s, vel_s, h_s, mass_s, rho_s = src
     h_s = jnp.where(h_s > 0, h_s, 1.0)
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
-    cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src)
+    cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src, matid=matid_src)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
     src_live = mass_s > 0.0
 
@@ -312,7 +313,8 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
     rho_t = jnp.where(_pad_to(rho, n_pad, 1.0) > 0,
                       _pad_to(rho, n_pad, 1.0), 1.0)
     cs_t = eos_ops.sound_speed_cfg(
-        rho_t, cfg, u=_pad_to(u, n_pad, 0.0) if u is not None else None)
+        rho_t, cfg, u=_pad_to(u, n_pad, 0.0) if u is not None else None,
+        matid=_pad_to(matid, n_pad, 0) if matid is not None else None)
     # AV is a beyond-reference capability: always use the CORRECT kernel
     # derivative. With the parity sign bug the q<1 gradient flips and AV
     # would accelerate approaching pairs (inject energy) instead of
@@ -365,6 +367,8 @@ def pass2(
     energy: bool = False,
     u: Optional[jax.Array] = None,
     u_src: Optional[jax.Array] = None,
+    matid: Optional[jax.Array] = None,
+    matid_src: Optional[jax.Array] = None,
 ):
     """Pressure gradient grad P_i, shape [N,3].
 
@@ -403,6 +407,7 @@ def pass2(
     if src is None:
         src = (pos, h, mass, rho, pressure) + ((vel,) if need_vel else ())
         u_src = u
+        matid_src = matid
     pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src[:5])
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
@@ -413,7 +418,7 @@ def pass2(
     prs_t = _pad_to(pressure, n_pad, 0.0)
     if need_vel:
         vel_s = src[5]
-        cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src)
+        cs_s = eos_ops.sound_speed_cfg(rho_s, cfg, u=u_src, matid=matid_src)
         vel_t = _pad_to(vel, n_pad, 0.0)
     else:
         vel_t = jnp.zeros((n_pad, 3), pos.dtype)
@@ -421,11 +426,12 @@ def pass2(
         u_t = _pad_to(u, n_pad, 0.0)
     else:
         u_t = jnp.zeros((n_pad,), pos.dtype)
+    mid_t = _pad_to(matid, n_pad, 0) if matid is not None else None
 
     sign_bug = cfg.kernel_deriv_sign_bug
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, prs_i, vel_i, u_i = args
+        pos_i, h_i, idx_i, rho_i, prs_i, vel_i, u_i, mid_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         r = jnp.sqrt(r2)
@@ -455,7 +461,8 @@ def pass2(
             # contribution is -rho_i * a_AV
             hbar = 0.5 * (h_i[:, None] + h_s[None, :])
             mu = hbar * vdotr / (r2 + 0.01 * hbar * hbar)
-            cs_i = eos_ops.sound_speed_cfg(rho_i, cfg, u=u_i)
+            cs_i = eos_ops.sound_speed_cfg(
+                rho_i, cfg, u=u_i, matid=mid_i if matid is not None else None)
             cbar = 0.5 * (cs_i[:, None] + cs_s[None, :])
             rhobar = 0.5 * (rho_i[:, None] + rho_s[None, :])
             pi_ij = jnp.where(
@@ -479,7 +486,8 @@ def pass2(
         body,
         (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
          _block(rho_t, nb, b), _block(prs_t, nb, b), _block(vel_t, nb, b),
-         _block(u_t, nb, b)),
+         _block(u_t, nb, b),
+         _block(mid_t if mid_t is not None else gidx, nb, b)),
     )
     grad_p = out.reshape((n_pad, 3))[:n]
     if energy:

@@ -53,8 +53,37 @@ TILLOTSON_MATERIALS = {
 # the standard fix (e.g. Reinhardt & Stadel 2017) clamps P >= 0 there.
 TILLOTSON_ETA_FLOOR = 0.8
 
+# Material-id encoding for per-particle material arrays (ParticleState.matid
+# under multi-material runs): index into the insertion order above.
+MATERIAL_NAMES = tuple(TILLOTSON_MATERIALS)
+MATERIAL_INDEX = {name: i for i, name in enumerate(MATERIAL_NAMES)}
 
-def tillotson_pressure(rho, u, material: str = "basalt"):
+
+def material_index(name: str) -> int:
+    """Stable integer id of a Tillotson material (ParticleState.matid)."""
+    return MATERIAL_INDEX[name]
+
+
+def material_rho0(material) -> jnp.ndarray:
+    """Reference (zero-pressure cold) density; str or matid array."""
+    if isinstance(material, str):
+        return jnp.asarray(TILLOTSON_MATERIALS[material][0])
+    tab = jnp.asarray([m[0] for m in TILLOTSON_MATERIALS.values()])
+    return tab[material]
+
+
+def _till_consts(material):
+    """Tillotson constants for a material name (python floats — the fast
+    scalar path) or a per-particle int matid array (one [M,10] table row
+    gather; every constant becomes an array broadcasting with rho/u)."""
+    if isinstance(material, str):
+        return TILLOTSON_MATERIALS[material]
+    tab = jnp.asarray(list(TILLOTSON_MATERIALS.values()))   # [M, 10]
+    row = tab[material]                                     # [..., 10]
+    return tuple(row[..., i] for i in range(10))
+
+
+def tillotson_pressure(rho, u, material="basalt"):
     """P(rho, u) with the three-branch Tillotson form:
 
     condensed (rho >= rho0, or u <= e_iv):
@@ -67,9 +96,12 @@ def tillotson_pressure(rho, u, material: str = "basalt"):
     Fully elementwise and branch-free (jnp.where), so jax.jvp gives the
     exact partials for the sound speed. rho is floored at 1e-30 to keep
     the expanded exponentials finite at vacuum.
+
+    `material`: a name (uniform material, scalar constants) or an int
+    matid array (per-particle materials, see MATERIAL_INDEX) broadcasting
+    against rho/u.
     """
-    rho0, a, b, A, B, e0, e_iv, e_cv, alpha, beta = \
-        TILLOTSON_MATERIALS[material]
+    rho0, a, b, A, B, e0, e_iv, e_cv, alpha, beta = _till_consts(material)
     rho = jnp.maximum(rho, 1e-30)
     u = jnp.maximum(u, 0.0)
     eta = rho / rho0
@@ -95,13 +127,13 @@ def tillotson_pressure(rho, u, material: str = "basalt"):
                                jnp.where(u >= e_cv, pe, hybrid)))
 
 
-def tillotson_sound_speed(rho, u, material: str = "basalt"):
+def tillotson_sound_speed(rho, u, material="basalt"):
     """c_s = sqrt(dP/drho|u + (P/rho^2) dP/du|rho), the adiabatic sound
     speed, with the exact partials from jax.jvp on the pressure form.
     Floored at 1e-3 * sqrt(A/rho0) (a fraction of the cold bulk sound
     speed) so AV and the CFL criterion stay defined in tension/vacuum."""
     import jax
-    rho0, a, b, A = TILLOTSON_MATERIALS[material][:4]
+    rho0, a, b, A = _till_consts(material)[:4]
     # higher floor than the pressure's: rho^2 in the P/rho^2 dP/du term
     # must not underflow f32 (1e-30^2 -> 0 -> 0/0 NaN); the cs floor
     # dominates at these densities anyway
@@ -119,21 +151,25 @@ def tillotson_sound_speed(rho, u, material: str = "basalt"):
 
 # --- cfg-aware forms (u ignored when polytropic) ---
 
-def pressure_cfg(rho, cfg, u=None):
+def pressure_cfg(rho, cfg, u=None, matid=None):
     """P from the configured EOS. 'adiabatic' (cfg.eos_mode) is the ideal
     gas P = (gamma-1) rho u; 'tillotson' the material EOS above — both
     with u the EVOLVED specific internal energy (state.u). 'polytropic'
-    is the reference's barotropic P = K rho^gamma."""
+    is the reference's barotropic P = K rho^gamma.
+
+    `matid` (tillotson only): per-particle material ids (MATERIAL_INDEX);
+    None = the uniform cfg.material."""
     if cfg.evolves_u and u is None:
         raise ValueError(f"{cfg.eos_mode} EOS needs the internal energy u")
     if cfg.eos_mode == "adiabatic":
         return (cfg.eos_gamma - 1.0) * rho * jnp.maximum(u, 0.0)
     if cfg.eos_mode == "tillotson":
-        return tillotson_pressure(rho, u, cfg.material)
+        return tillotson_pressure(
+            rho, u, cfg.material if matid is None else matid)
     return pressure(rho, cfg.eos_k, cfg.eos_gamma)
 
 
-def sound_speed_cfg(rho, cfg, u=None):
+def sound_speed_cfg(rho, cfg, u=None, matid=None):
     """c_s for the configured EOS: adiabatic sqrt(gamma (gamma-1) u),
     tillotson from the exact partials, polytropic
     sqrt(gamma K rho^(gamma-1)). Floor-safe for u=0/rho=0."""
@@ -143,5 +179,6 @@ def sound_speed_cfg(rho, cfg, u=None):
         return jnp.sqrt(cfg.eos_gamma * (cfg.eos_gamma - 1.0)
                         * jnp.maximum(u, 0.0))
     if cfg.eos_mode == "tillotson":
-        return tillotson_sound_speed(rho, u, cfg.material)
+        return tillotson_sound_speed(
+            rho, u, cfg.material if matid is None else matid)
     return sound_speed(jnp.maximum(rho, 0.0), cfg.eos_k, cfg.eos_gamma)

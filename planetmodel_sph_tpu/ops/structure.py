@@ -478,7 +478,7 @@ def _sort_set(grp, arrs):
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
               vel=None, src=None, target_offset=0,
-              sorted_io=False, u=None) -> _Ctx:
+              sorted_io=False, u=None, matid=None) -> _Ctx:
     single = src is None
     need_vel = vel is not None
     tgrp = st.groups
@@ -492,10 +492,14 @@ def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
             t.update(vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2])
         if u is not None:
             t["u"] = u
+        if matid is not None:
+            t["mid"] = matid
     else:
         tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
         if need_vel:
             tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
+        if matid is not None:
+            tf += [matid]
         if u is not None:
             tf += [u]
         tcols = _sort_set(tgrp, tf)
@@ -504,6 +508,8 @@ def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
             t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
         if u is not None:
             t["u"] = tcols[-1]
+        if matid is not None:
+            t["mid"] = tcols[-2] if u is not None else tcols[-1]
     t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
 
     if single:
@@ -765,7 +771,7 @@ def _unsort(st: BlockStructure, fields):
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
            u=None, src=None, target_offset=0, gather_fn=None,
-           sorted_io=False) -> BlockForces:
+           sorted_io=False, matid=None) -> BlockForces:
     """Full field evaluation against current fields.
 
     The reference's whole system chain (density -> EOS -> grad P [-> AV]
@@ -805,7 +811,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av or energy else None,
                     src=src, target_offset=target_offset,
-                    sorted_io=sorted_io, u=u)
+                    sorted_io=sorted_io, u=u, matid=matid)
     t, s = ctx.t, ctx.s
 
     # gather the geometry channels ONCE; pass 1 and pass 2 reuse the same
@@ -814,7 +820,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     # ---- pass 1: density (+ grad-h Omega) ----
     rho_t, nn_t, omega = _density_sweep(ctx, cfg, st, src1=geom_rows)
-    prs_t = eos_ops.pressure_cfg(rho_t, cfg, u=t.get("u"))
+    prs_t = eos_ops.pressure_cfg(rho_t, cfg, u=t.get("u"), matid=t.get("mid"))
 
     # ---- pass 2: pressure gradient (+ fused AV) ----
     # Per-particle coefficients are precomputed so the kernel sees ONE
@@ -845,7 +851,8 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         p_scale = rho_t
     s_extra = [to_src(cc)]
     if av:
-        cs_t = eos_ops.sound_speed_cfg(rho_t, cfg, u=t.get("u"))
+        cs_t = eos_ops.sound_speed_cfg(rho_t, cfg, u=t.get("u"),
+                                       matid=t.get("mid"))
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t, rho_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t),
                     to_src(rho_t)]

@@ -51,7 +51,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
     if st is not None and cfg.neighbor_mode != "grid":
         raise ValueError("frozen structures are a grid-mode optimization")
 
-    def forces(pos, h, mass, vel=None, u=None):
+    def forces(pos, h, mass, vel=None, u=None, matid=None):
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
         gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
@@ -68,6 +68,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                 pos, h, mass, cfg, src=src3, target_offset=off)
             bf = structure.forces(pos, h, mass, cfg, st_,
                                   vel=vel if need_vel else None, u=u,
+                                  matid=matid,
                                   src=src, target_offset=off,
                                   gather_fn=gather)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
@@ -77,10 +78,12 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
 
         av_extra = None
         du_dt = None
+        mkw = {} if matid is None else \
+            {"matid": matid, "matid_src": gather(matid)}
         if cfg.grad_p_mode == "grad_h":
             rho, omega, nn = dense.density_gradh(pos, h, mass, cfg,
                                                  src=src3, target_offset=off)
-            prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+            prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
             om_safe = jnp.maximum(omega, 0.1)
             coef = prs / (om_safe * jnp.where(rho > 0, rho, 1.0) ** 2)
             p2 = dense.pass2_gradh(
@@ -94,7 +97,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                     pos, vel, h, mass, rho, cfg,
                     src=(pos_g, gather(vel), h_g, mass_g, gather(rho)),
                     target_offset=off, energy=energy, u=u,
-                    u_src=gather(u) if energy else None)
+                    u_src=gather(u) if energy else None, **mkw)
                 if energy:
                     av_extra, av_du = va
                     du_dt = du_dt + av_du
@@ -103,13 +106,14 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
         else:
             p1 = dense.pass1(pos, h, mass, cfg, src=src3, target_offset=off)
             rho, nn = p1.rho, p1.n_neighbors
-            prs = eos_ops.pressure_cfg(rho, cfg, u=u)
+            prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
             src5 = src3 + (gather(rho), gather(prs))
             if (av or energy) and vel is not None:
                 src5 = src5 + (gather(vel),)
             p2 = dense.pass2(pos, h, mass, rho, prs, cfg, src=src5,
                              target_offset=off, vel=vel, energy=energy,
-                             u=u, u_src=gather(u) if energy else None)
+                             u=u, u_src=gather(u) if energy else None,
+                             **mkw)
             grad_p, du_dt = p2 if energy else (p2, None)
 
         if cfg.gravity_solver == "tree":
@@ -147,7 +151,8 @@ def make_step(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
     """Jitted sharded step: ParticleState (axis-0 sharded) -> ParticleState."""
 
     def local_step(state):
-        return planet.step(state, cfg, forces_fn=_dp_forces(cfg, axis))
+        return planet.step(state, cfg, forces_fn=_dp_forces(cfg, axis),
+                           axis=axis)
 
     # check_vma=False: Pallas kernels (the block pipeline) don't annotate
     # varying-mesh-axes on their outputs yet
@@ -205,7 +210,8 @@ def local_run_steps(state, *, cfg, axis, n_steps):
                                  n_steps=n_steps)[0]
 
     def body(s, _):
-        return planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis)), None
+        return planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis),
+                           axis=axis), None
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out
 
@@ -271,10 +277,12 @@ def _local_run_cached(state, *, cfg, axis, n_steps):
         forces_fn = _dp_forces(cfg, axis, st=st)
         if cfg.integrator == "staggered_euler":
             one = lambda s2: planet.step_staggered(s2, cfg, forces_fn,
-                                                   update_smoothing=False)
+                                                   update_smoothing=False,
+                                                   axis=axis)
         else:
             one = lambda s2: planet.step_kdk(s2, cfg, forces_fn,
-                                             update_smoothing=False)
+                                             update_smoothing=False,
+                                             axis=axis)
 
         def body(s2, _):
             return one(s2), None

@@ -52,6 +52,10 @@ class ParticleState:
                     for the reference's barotropic EOS)
     du_dt [N]       carried du/dt for the KDK energy half-kicks (the u
                     analog of `accel`; zero when eos_mode='polytropic')
+    matid [N]       per-particle material id (ops.eos.MATERIAL_INDEX; no
+                    reference analog: consumed only under
+                    eos_mode='tillotson' for multi-material bodies —
+                    differentiated planets, mixed-material impacts)
     ==============  =====================================================
     """
 
@@ -70,6 +74,7 @@ class ParticleState:
     accel: jax.Array
     u: jax.Array
     du_dt: jax.Array
+    matid: jax.Array
 
     @property
     def n(self) -> int:
@@ -89,5 +94,5 @@ def zeros(config: SimConfig) -> ParticleState:
     return ParticleState(
         pos=v3, vel=v3, mass=v1, h=v1, rho=v1, pressure=v1, grad_p=v3,
         phi=v1, grad_phi=v3, n_neighbors=i1, n_direct=i1, n_approx=i1,
-        accel=v3, u=v1, du_dt=v1,
+        accel=v3, u=v1, du_dt=v1, matid=i1,
     )

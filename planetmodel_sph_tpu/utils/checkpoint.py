@@ -76,4 +76,8 @@ def _fill_missing(fields: dict, cfg: SimConfig) -> ParticleState:
                                               cfg.eos_gamma)
     if "du_dt" not in fields:
         fields["du_dt"] = jax.numpy.zeros_like(fields["rho"])
+    if "matid" not in fields:
+        fields["matid"] = jax.numpy.full(
+            fields["rho"].shape, eos_ops.material_index(cfg.material),
+            jax.numpy.int32)
     return ParticleState(**fields)
