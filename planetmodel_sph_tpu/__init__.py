@@ -13,4 +13,4 @@ from .config import (  # noqa: F401
 )
 from .state import ParticleState  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
