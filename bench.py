@@ -16,38 +16,52 @@ against the north-star target rate (6M particle-steps/s = 60 steps/s at
 import json
 import subprocess
 import sys
+import time
 
 from planetmodel_sph_tpu.bench import run_bench
 
 NORTH_STAR_PARTICLE_STEPS_PER_SEC = 100_000 * 60.0
 
 
-def _probe_device(timeout_s: int = 300) -> None:
+def _probe_device(timeout_s: int = 120, attempts: int = 3,
+                  sleep_s: int = 45) -> None:
     """Fail fast (instead of hanging forever) when the relay-backed chip
     is unreachable — observed multi-hour outages mid-round. The probe
     runs in a SUBPROCESS because the hang sits inside a C call holding
-    the GIL, where in-process SIGALRM handlers never run."""
-    r = subprocess.run(
-        [sys.executable, "-c",
-         "import jax, jax.numpy as jnp;"
-         "print(float(jnp.sum(jnp.ones((128,128)))), "
-         "jax.devices()[0].platform)"],
-        timeout=timeout_s, capture_output=True)
-    if r.returncode != 0:
-        raise RuntimeError(f"probe rc={r.returncode}: "
-                           f"{r.stderr.decode()[-200:]}")
+    the GIL, where in-process SIGALRM handlers never run. A few retries
+    ride out transient 'TPU worker process crashed' flaps without
+    stalling the driver more than ~7 minutes on a real outage."""
+    last = None
+    for i in range(attempts):
+        if i:
+            time.sleep(sleep_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((128,128)))), "
+                 "jax.devices()[0].platform)"],
+                timeout=timeout_s, capture_output=True)
+        except subprocess.TimeoutExpired as e:
+            last = e
+            continue
+        if r.returncode == 0:
+            return
+        last = RuntimeError(f"probe rc={r.returncode}: "
+                            f"{r.stderr.decode()[-200:]}")
+    raise RuntimeError(f"device unreachable after {attempts} probes: {last}")
 
 
 def main() -> int:
     try:
         _probe_device()
-    except Exception as e:  # noqa: BLE001
+        result = run_bench(n=3000, steps=200)
+    except Exception as e:  # noqa: BLE001 — ALWAYS emit a JSON line
         print(json.dumps({"metric": "particle_steps_per_sec", "value": 0.0,
                           "unit": "particle-steps/s", "vs_baseline": 0.0,
-                          "error": f"device unreachable: {e}"[:300]}),
+                          "error": str(e)[:300]}),
               flush=True)
         return 1
-    result = run_bench(n=3000, steps=200)
     print(json.dumps(result), flush=True)
 
     try:
