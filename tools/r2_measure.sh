@@ -42,3 +42,11 @@ timeout 1800 python tools/roofline.py --json /tmp/roofline.json >> $LOG 2>&1
 timeout 1800 python bench.py >> $LOG 2>&1
 
 echo "=== battery done $(date) ===" >> $LOG
+
+# 7. unattended finisher: pick the overflow-free ksweep2 winner and run
+#    the 100k drift protocol at that operating point (ROUND3.md 1+3);
+#    winner JSON lands in /tmp/r3_winner.json, drift artifacts in
+#    docs/results/drift100k_v2
+timeout 14400 python tools/r3_finish.py --log $LOG >> $LOG 2>&1
+timeout 1800 python bench.py >> $LOG 2>&1
+echo "=== finisher done $(date) ===" >> $LOG
