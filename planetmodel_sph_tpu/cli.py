@@ -103,6 +103,11 @@ def cmd_run(args) -> int:
         state = _make_ic(args, cfg)
         start_step = 0
 
+    if args.metrics_jsonl and not args.restore:
+        # fresh run: truncate — appending across unrelated runs silently
+        # mixes experiments (resume keeps appending to its own trail)
+        open(args.metrics_jsonl, "w").close()
+
     if args.devices and args.devices > 1:
         return _run_dp(args, cfg, state, start_step)
     if not args.restore:

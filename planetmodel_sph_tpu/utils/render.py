@@ -53,6 +53,26 @@ def render_png(state, path: str, axis=(0, 1), extent: float | None = None,
         colors = _stable_colors(pos.shape[0])
         sc = ax.scatter(pos[:, a0], pos[:, a1], s=size, c=colors,
                         alpha=0.6, linewidths=0)
+    elif color_by == "material":
+        # categorical per-material colors + a named legend (continuous
+        # colormaps wash the few discrete matids into one hue); ONE
+        # scatter ordered big-markers-first so dense small-h material
+        # (e.g. an iron core) isn't overplotted by puffy large-h halos
+        from matplotlib.lines import Line2D
+        from ..ops import eos as eos_ops
+        mid = np.asarray(state.matid)
+        palette = ("#b0633a", "#9b9b9b", "#e8d44d", "#7fd4ff", "#3a6fd8")
+        order = np.argsort(-size)
+        colors = np.asarray([palette[i % len(palette)]
+                             for i in range(len(eos_ops.MATERIAL_NAMES))])
+        ax.scatter(pos[order, a0], pos[order, a1], s=size[order],
+                   c=colors[mid[order]], alpha=0.6, linewidths=0)
+        handles = [Line2D([], [], marker="o", linestyle="", markersize=8,
+                          color=palette[i % len(palette)],
+                          label=eos_ops.MATERIAL_NAMES[i])
+                   for i in np.unique(mid)]
+        ax.legend(handles=handles, loc="upper right", facecolor="#202020",
+                  labelcolor="white")
     else:
         c = np.asarray(getattr(state, color_by))
         if c.ndim > 1:

@@ -83,6 +83,19 @@ def test_render(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_render_material_colors(tmp_path):
+    """color_by='material': categorical per-matid colors + named legend
+    (mixed-material states; a continuous colormap washes the ids out)."""
+    from planetmodel_sph_tpu.utils import render
+    cfg = psph.basalt_impact(n=256)
+    st = ics.two_planet_collision(cfg, separation=2.0e7,
+                                  approach_speed=2.0e4,
+                                  materials=("basalt", "ice"))
+    out = render.render_png(st, str(tmp_path / "m.png"),
+                            color_by="material")
+    assert os.path.getsize(out) > 1000
+
+
 def test_graft_entry_single_chip():
     sys.path.insert(0, REPO)
     try:
