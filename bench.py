@@ -65,8 +65,13 @@ def main() -> int:
     print(json.dumps(result), flush=True)
 
     try:
+        import os
+        ck = next((p for p in
+                   ("docs/results/drift100k_v2/state.psph",
+                    "docs/results/drift100k/state.psph")
+                   if os.path.exists(p)), None)
         big = run_bench(n=100_000, steps=64, preset="jupiter_100k",
-                        checkpoint_path="docs/results/drift100k/state.psph")
+                        checkpoint_path=ck)
         big["metric"] = "particle_steps_per_sec_n100000"
         big["vs_baseline"] = round(
             big["value"] / NORTH_STAR_PARTICLE_STEPS_PER_SEC, 3)

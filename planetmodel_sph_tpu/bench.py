@@ -55,12 +55,17 @@ def run_bench(n: int = 3000, steps: int = 200,
     state = _force(planet.run(state, cfg, steps))
 
     t0 = time.perf_counter()
-    state = _force(planet.run(state, cfg, steps))
+    state, info = planet.run_info(state, cfg, steps)
+    _force(state)
     dt_wall = time.perf_counter() - t0
 
     steps_per_sec = steps / dt_wall
     psps = cfg.n * steps_per_sec
+    # overflowing windows DROP interactions — an overflowed rate is
+    # invalid-fast, not fast, so the counters ride along with the number
+    overflow = {k: int(v) for k, v in info.items()}
     return {
+        "overflow": overflow,
         "metric": f"particle_steps_per_sec_n{cfg.n}",
         "value": round(psps, 1),
         "unit": "particle-steps/s",
