@@ -80,6 +80,8 @@ def _build_cfg(args) -> config_mod.SimConfig:
     if getattr(args, "av", None):
         kw["av_alpha"] = args.av
         kw["av_beta"] = 2.0 * args.av
+    if getattr(args, "balsara", False):
+        kw["av_balsara"] = True
     if getattr(args, "eos", None):
         kw["eos_mode"] = args.eos
     for item in (getattr(args, "set", None) or []):
@@ -375,6 +377,10 @@ def main(argv=None) -> int:
                     help="enable Monaghan artificial viscosity with this "
                          "alpha (beta=2*alpha); fused into pass 2 on every "
                          "pipeline (dense, grid, Pallas, dp)")
+    pr.add_argument("--balsara", action="store_true",
+                    help="Balsara (1995) AV limiter: suppresses spurious "
+                         "shear dissipation (rotating flows, oblique "
+                         "impacts) while keeping AV in compressive shocks")
     pr.add_argument("--freeze-velocity", action="store_true",
                     help="parity with DISABLE_VELOCITY_SYSTEM: compute "
                          "fields but never apply accelerations")

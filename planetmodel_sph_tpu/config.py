@@ -273,6 +273,15 @@ class SimConfig:
     # this round.
     av_alpha: float = 0.0
     av_beta: float = 0.0
+    # Balsara (1995) switch: per-particle AV limiter f_i = |div v| /
+    # (|div v| + |curl v| + 1e-4 c/h), applied to Pi_ij as 0.5(f_i+f_j).
+    # Kills the spurious shear dissipation of plain Monaghan AV
+    # (differentially rotating bodies, oblique impacts) while keeping
+    # full strength in compressive shocks. div/curl sums ride the same
+    # pass-2 sweep that evaluates Pi_ij; the factor is applied one step
+    # lagged (state.balsara), the standard leapfrog treatment. Inert
+    # unless av_alpha > 0.
+    av_balsara: bool = False
 
     # ---- debug toggles ----
     # parity with the reference's DISABLE_VELOCITY_SYSTEM define

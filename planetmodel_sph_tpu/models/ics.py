@@ -99,6 +99,7 @@ def jupiter(cfg: SimConfig) -> ParticleState:
         u=_init_u(cfg, rho),
         du_dt=zeros1,
         matid=_init_matid(cfg, cfg.n),
+        balsara=jnp.ones((cfg.n,), dt),
     )
 
 
@@ -158,6 +159,7 @@ def polytrope(cfg: SimConfig, rho_floor_frac: float = 0.01) -> ParticleState:
         u=_init_u(cfg, rho),
         du_dt=zeros1,
         matid=_init_matid(cfg, cfg.n),
+        balsara=jnp.ones((cfg.n,), dt),
     )
 
 
@@ -287,6 +289,7 @@ def differentiated_planet(
         grad_p=zeros3, phi=zeros1, grad_phi=zeros3,
         n_neighbors=izeros, n_direct=izeros, n_approx=izeros,
         accel=zeros3, u=u, du_dt=zeros1, matid=matid,
+        balsara=jnp.ones((n,), dt),
     )
 
 

@@ -43,6 +43,8 @@ class Forces(NamedTuple):
                       # refines it inside the force evaluation)
     du_dt: jax.Array  # specific-internal-energy rate (zeros unless
                       # cfg.eos_mode='adiabatic')
+    balsara: jax.Array = None   # next-step Balsara AV-limiter factor
+                                # (None unless cfg.av_balsara with AV on)
 
 
 def update_h(h, n_neighbors, cfg: SimConfig):
@@ -100,14 +102,19 @@ def h_eta(cfg: SimConfig) -> float:
                   / (4.0 * jnp.pi)) ** (1.0 / 3.0)) / cfg.kappa
 
 
+balsara_factor = dense.balsara_factor
+
+
 def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
-                   matid=None) -> Forces:
+                   matid=None, fbal=None) -> Forces:
     """Full field evaluation at the given positions/smoothing lengths.
 
     `vel` is required only when artificial viscosity or the adiabatic
     energy equation is enabled; `u` (specific internal energy) only under
     an evolved-u EOS; `matid` (per-particle material ids) only under
-    cfg.eos_mode='tillotson' with multi-material bodies. Grid mode routes
+    cfg.eos_mode='tillotson' with multi-material bodies; `fbal` (the
+    previous step's Balsara limiter factors, state.balsara) only under
+    cfg.av_balsara. Grid mode routes
     everything — sym/asym/grad-h pressure, fused AV, block-tree gravity —
     through the unified block pipeline (ops/structure.py); this is the
     uncached path (structures built fresh, zero skin).
@@ -120,11 +127,12 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
         from ..ops import structure
         st = structure.build(pos, h, mass, cfg)
         return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
-                             matid=matid)
+                             matid=matid, fbal=fbal)
     if cfg.grad_p_mode == "grad_h":
         return _compute_forces_gradh(pos, h, mass, cfg, vel=vel, u=u,
-                                     matid=matid)
+                                     matid=matid, fbal=fbal)
 
+    balsara = cfg.av_balsara and cfg.av_alpha > 0.0 and vel is not None
     from ..ops.pallas import pairwise
     use_pallas = cfg.use_pallas and pairwise._on_tpu() and not energy
     if use_pallas:
@@ -144,17 +152,24 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
     # AV (when enabled) is fused into pass 2 on both dense backends; the
     # adiabatic energy equation rides the same sweep (dense backend)
     mkw = {"matid": matid} if matid is not None else {}
+    if balsara:
+        mkw["fbal"] = fbal
     if energy:
-        grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u,
-                                  **mkw)
+        out = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u, **mkw)
+        grad_p, du_dt = out[:2]
     else:
-        grad_p = grad_p_fn(rho, prs, cfg, vel=vel, **mkw)
+        out = grad_p_fn(rho, prs, cfg, vel=vel, **mkw)
+        grad_p = out[0] if isinstance(out, tuple) else out
         du_dt = jnp.zeros_like(rho)
+    f_next = None
+    if balsara:
+        cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+        f_next = balsara_factor(out[-1], cs, rho, h)
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h, du_dt)
+                  accel, h, du_dt, f_next)
 
 
 def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
@@ -166,7 +181,8 @@ def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
 
 
 def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
-                  matid=None, solve_h=True, sorted_io=False) -> Forces:
+                  matid=None, fbal=None, solve_h=True,
+                  sorted_io=False) -> Forces:
     """Grid-mode force evaluation on the unified block pipeline.
 
     `solve_h`: run the bounded Newton h-solve (h_mode='newton') before the
@@ -181,11 +197,11 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
         h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
         st = structure.build(pos, h, mass, cfg)
     bf = structure.forces(pos, h, mass, cfg, st, vel=vel, u=u,
-                          matid=matid, sorted_io=sorted_io)
+                          matid=matid, fbal=fbal, sorted_io=sorted_io)
     accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
                   bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h,
-                  bf.du_dt)
+                  bf.du_dt, bf.balsara)
 
 
 def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
@@ -203,7 +219,7 @@ def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
 
 
 def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
-                          u=None, matid=None) -> Forces:
+                          u=None, matid=None, fbal=None) -> Forces:
     """Grad-h SPH (Springel & Hernquist 2002) on the dense pipeline.
 
     Gather-form density with Omega correction factors; optional fixed-point
@@ -244,17 +260,25 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
         n_approx = jnp.zeros_like(n_direct)
 
     accel = -grad_p / rho[:, None] - grad_phi
+    f_next = None
     if cfg.av_alpha > 0.0:
+        if vel is None:
+            raise ValueError("artificial viscosity needs velocities; pass "
+                             "vel= to compute_forces")
+        balsara = cfg.av_balsara
+        bkw = {"fbal": fbal} if balsara else {}
+        va = dense.viscosity_accel(pos, vel, h, mass, rho, cfg,
+                                   energy=energy, u=u, matid=matid, **bkw)
+        if not isinstance(va, tuple):
+            va = (va,)
+        accel = accel + va[0]
         if energy:
-            av_acc, av_du = dense.viscosity_accel(pos, vel, h, mass, rho,
-                                                  cfg, energy=True, u=u,
-                                                  matid=matid)
-            accel = accel + av_acc
-            du_dt = du_dt + av_du
-        else:
-            accel = accel + _viscosity(pos, vel, h, mass, rho, cfg)
+            du_dt = du_dt + va[1]
+        if balsara:
+            cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+            f_next = balsara_factor(va[-1], cs, rho, h)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h, du_dt)
+                  accel, h, du_dt, f_next)
 
 
 def _damp(vel, dt, cfg: SimConfig):
@@ -265,27 +289,33 @@ def _damp(vel, dt, cfg: SimConfig):
 
 
 def _apply_forces(state: ParticleState, f: Forces) -> ParticleState:
-    return state.replace(
+    out = state.replace(
         rho=f.rho, pressure=f.pressure, grad_p=f.grad_p, phi=f.phi,
         grad_phi=f.grad_phi, n_neighbors=f.n_neighbors,
         n_direct=f.n_direct, n_approx=f.n_approx, accel=f.accel, h=f.h,
         du_dt=f.du_dt,
     )
+    if f.balsara is not None:
+        out = out.replace(balsara=f.balsara)
+    return out
 
 
 def _default_forces(cfg: SimConfig):
-    def fn(pos, h, mass, vel=None, u=None, matid=None):
-        return compute_forces(pos, h, mass, cfg, vel=vel, u=u, matid=matid)
+    def fn(pos, h, mass, vel=None, u=None, matid=None, fbal=None):
+        return compute_forces(pos, h, mass, cfg, vel=vel, u=u, matid=matid,
+                              fbal=fbal)
     return fn
 
 
-def _forces_kw(cfg: SimConfig, u, matid=None):
-    """Thread u (and matid under tillotson) into a forces_fn only when the
-    EOS consumes them, so custom closures that predate the energy equation
-    keep working unchanged."""
+def _forces_kw(cfg: SimConfig, u, matid=None, fbal=None):
+    """Thread u (matid under tillotson, fbal under av_balsara) into a
+    forces_fn only when the configuration consumes them, so custom
+    closures that predate the energy equation keep working unchanged."""
     kw = {"u": u} if cfg.evolves_u else {}
     if cfg.eos_mode == "tillotson" and matid is not None:
         kw["matid"] = matid
+    if cfg.av_balsara and fbal is not None:
+        kw["fbal"] = fbal
     return kw
 
 
@@ -294,7 +324,7 @@ def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState
     forces_fn = forces_fn or _default_forces(cfg)
     return _apply_forces(state, forces_fn(
         state.pos, state.h, state.mass, vel=state.vel,
-        **_forces_kw(cfg, state.u, state.matid)))
+        **_forces_kw(cfg, state.u, state.matid, state.balsara)))
 
 
 def step_staggered(state: ParticleState, cfg: SimConfig,
@@ -306,7 +336,7 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
         else state.h
     f = forces_fn(state.pos, h, state.mass, vel=state.vel,
-                  **_forces_kw(cfg, state.u, state.matid))
+                  **_forces_kw(cfg, state.u, state.matid, state.balsara))
     pos = state.pos + state.vel * dt          # Integrator.cs:98-101 (old v!)
     vel = state.vel if cfg.freeze_velocity \
         else state.vel + f.accel * dt         # VelocitySystem.cs:34
@@ -343,7 +373,7 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
         else state.h
     u_half = state.u + 0.5 * dt * state.du_dt if adiabatic else state.u
     f = forces_fn(pos, h, state.mass, vel=v_half,
-                  **_forces_kw(cfg, u_half, state.matid))
+                  **_forces_kw(cfg, u_half, state.matid, state.balsara))
     vel = v_half if cfg.freeze_velocity else v_half + 0.5 * dt * f.accel
     out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
     if adiabatic:
@@ -406,27 +436,36 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
 
 
 def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
-                   u=None, matid=None) -> Forces:
+                   u=None, matid=None, fbal=None) -> Forces:
     if cfg.neighbor_mode == "grid":
         return _forces_block(pos, h, mass, cfg, st, vel=vel, u=u,
-                             matid=matid, solve_h=False)
+                             matid=matid, fbal=fbal, solve_h=False)
     energy = cfg.evolves_u
+    balsara = cfg.av_balsara and cfg.av_alpha > 0.0 and vel is not None
     mkw = {"matid": matid} if matid is not None else {}
     av_extra = None
     du_dt = None
+    f_next = None
     if cfg.grad_p_mode == "grad_h":
         rho, omega, nn = dense.density_gradh(pos, h, mass, cfg)
         prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
+        bkw = {"fbal": fbal} if balsara else {}
         if energy:
             grad_p, du_dt = dense.pass2_gradh(pos, h, mass, rho, omega,
                                               prs, cfg, energy=True, vel=vel)
-            if cfg.av_alpha > 0.0:
-                av_extra, av_du = dense.viscosity_accel(
-                    pos, vel, h, mass, rho, cfg, energy=True, u=u, **mkw)
-                du_dt = du_dt + av_du
         else:
             grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
-            av_extra = _viscosity(pos, vel, h, mass, rho, cfg)
+        if cfg.av_alpha > 0.0:
+            va = dense.viscosity_accel(pos, vel, h, mass, rho, cfg,
+                                       energy=energy, u=u, **mkw, **bkw)
+            if not isinstance(va, tuple):
+                va = (va,)
+            av_extra = va[0]
+            if energy:
+                du_dt = du_dt + va[1]
+            if balsara:
+                cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+                f_next = balsara_factor(va[-1], cs, rho, h)
     else:
         from ..ops.pallas import pairwise
         if cfg.use_pallas and pairwise._on_tpu() and not energy:
@@ -437,12 +476,18 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
             grad_p_fn = partial(dense.pass2, pos, h, mass)
         rho, nn = p1.rho, p1.n_neighbors
         prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
+        if balsara:
+            mkw["fbal"] = fbal
         if energy:
-            grad_p, du_dt = grad_p_fn(rho, prs, cfg, vel=vel, energy=True,
-                                      u=u, **mkw)
+            out = grad_p_fn(rho, prs, cfg, vel=vel, energy=True, u=u, **mkw)
+            grad_p, du_dt = out[:2]
         else:
-            grad_p = grad_p_fn(rho, prs, cfg, vel=vel,
-                               **mkw)  # AV fused if enabled
+            out = grad_p_fn(rho, prs, cfg, vel=vel,
+                            **mkw)  # AV fused if enabled
+            grad_p = out[0] if isinstance(out, tuple) else out
+        if balsara:
+            cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+            f_next = balsara_factor(out[-1], cs, rho, h)
 
     if cfg.gravity_solver == "tree":
         from ..ops import structure
@@ -467,7 +512,7 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
     if du_dt is None:
         du_dt = jnp.zeros_like(rho)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h, du_dt)
+                  accel, h, du_dt, f_next)
 
 
 def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
@@ -476,7 +521,8 @@ def init_carry(state: ParticleState, cfg: SimConfig) -> Carry:
     st = _build_caches(state.pos, state.h, state.mass, state.vel,
                        cfg, accel=state.accel)
     f = _forces_cached(state.pos, state.h, state.mass, cfg, st,
-                       vel=state.vel, u=state.u, matid=state.matid)
+                       vel=state.vel, u=state.u, matid=state.matid,
+                       fbal=state.balsara)
     return Carry(_apply_forces(state, f), jnp.asarray(0, jnp.int32), st)
 
 
@@ -521,7 +567,7 @@ def step_carry(carry: Carry, cfg: SimConfig) -> Carry:
     # velocity (matching step_kdk); staggered uses the pre-step velocity
     f = _forces_cached(eval_pos, h, state.mass, cfg, st,
                        vel=state.vel if v_half is None else v_half,
-                       u=u_half, matid=state.matid)
+                       u=u_half, matid=state.matid, fbal=state.balsara)
 
     if cfg.integrator == "staggered_euler":
         pos = state.pos + state.vel * dt
@@ -584,13 +630,16 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
         # per-step layout moves (cfg.sorted_chunks)
         grp = st.groups
         run_state = _permute_state(state, grp.tgt_idx)
-        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None: \
+        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None, \
+            fbal=None: \
             _forces_block(p, hh, m, cfg, st, vel=vel, u=u, matid=matid,
-                          solve_h=False, sorted_io=True)
+                          fbal=fbal, solve_h=False, sorted_io=True)
     else:
         run_state = state
-        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None: \
-            _forces_cached(p, hh, m, cfg, st, vel=vel, u=u, matid=matid)
+        forces_fn = lambda p, hh, m, vel=None, u=None, matid=None, \
+            fbal=None: \
+            _forces_cached(p, hh, m, cfg, st, vel=vel, u=u, matid=matid,
+                           fbal=fbal)
     if _uses_block_cache(cfg):
         from ..ops import structure
         info = structure.overflow_info(st)

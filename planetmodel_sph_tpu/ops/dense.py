@@ -274,9 +274,21 @@ def pass2_gradh(pos, h, mass, rho, omega, pressure, cfg: SimConfig,
     return grad_p
 
 
+def balsara_factor(dc, cs, rho, h):
+    """Balsara (1995) AV limiter f = |div v| / (|div v| + |curl v| +
+    1e-4 c/h) from the RAW pass-2 sums dc[N,4] (rho*div, rho*curl up to
+    sign — the shared 1/rho cancels between numerator and denominator,
+    so the eps term carries the rho instead)."""
+    d = jnp.abs(dc[:, 0])
+    c = jnp.sqrt(jnp.sum(dc[:, 1:] * dc[:, 1:], axis=-1))
+    eps = 1e-4 * cs * jnp.maximum(rho, 1e-30) / jnp.maximum(h, 1e-30)
+    return d / (d + c + eps + 1e-30)
+
+
 def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
                     src=None, target_offset=0, energy: bool = False,
-                    u=None, u_src=None, matid=None, matid_src=None):
+                    u=None, u_src=None, matid=None, matid_src=None,
+                    fbal=None, fbal_src=None):
     """Monaghan (1992) artificial-viscosity acceleration (blocked all-pairs).
 
     Pi_ij = (-alpha cbar mu + beta mu^2)/rhobar for approaching pairs,
@@ -293,15 +305,21 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
     the conjugate shock-heating rate du_i/dt = 1/2 sum_j m_j Pi_ij
     v_ij.gradW_sym accumulated in the same sweep; `u`/`u_src` then feed
     the adiabatic sound speed in Pi_ij.
+
+    `cfg.av_balsara`: Pi_ij is limited by 0.5 (f_i + f_j) from the lagged
+    factors `fbal`/`fbal_src` (default 1), and the raw div/curl sums
+    dc[N,4] are appended to the return (see pass2's docstring).
     """
     from . import eos as eos_ops
 
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg,
                                                       target_offset)
+    balsara = cfg.av_balsara
     if src is None:
         src = (pos, vel, h, mass, rho)
         u_src = u
         matid_src = matid
+        fbal_src = fbal
     pos_s, vel_s, h_s, mass_s, rho_s = src
     h_s = jnp.where(h_s > 0, h_s, 1.0)
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
@@ -320,9 +338,16 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
     # would accelerate approaching pairs (inject energy) instead of
     # dissipating.
     sign_bug = False
+    if balsara:
+        fb_t = _pad_to(fbal if fbal is not None
+                       else jnp.ones_like(rho), n_pad, 1.0)
+        fb_s = fbal_src if fbal_src is not None else jnp.ones_like(rho_s)
+    else:
+        fb_t = jnp.ones((n_pad,), pos.dtype)
+        fb_s = None
 
     def body(args):
-        pos_i, vel_i, h_i, idx_i, rho_i, cs_i = args
+        pos_i, vel_i, h_i, idx_i, rho_i, cs_i, fb_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         dv = vel_i[:, None, :] - vel_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
@@ -337,26 +362,39 @@ def viscosity_accel(pos, vel, h, mass, rho, cfg: SimConfig,
             approaching,
             (-cfg.av_alpha * cbar * mu + cfg.av_beta * mu * mu) / rhobar,
             0.0)
+        if balsara:
+            pi_ij = pi_ij * (0.5 * (fb_i[:, None] + fb_s[None, :]))
         r = jnp.sqrt(r2)
         gsym = 0.5 * (kernels.dw_dr_over_r(r, h_i[:, None], sign_bug)
                       + kernels.dw_dr_over_r(r, h_s[None, :], sign_bug))
         m_eff = jnp.where(pair, mass_s[None, :], 0.0)
         acc = -jnp.sum(dx * (m_eff * pi_ij * gsym)[..., None], axis=-2)
+        if balsara:
+            g_dc = m_eff * gsym
+            div_sum = jnp.sum(g_dc * vdotr, axis=-1)
+            curl_sum = jnp.sum(jnp.cross(dv, dx) * g_dc[..., None], axis=-2)
+            dc = jnp.concatenate([div_sum[:, None], curl_sum], axis=-1)
+        else:
+            dc = jnp.zeros((acc.shape[0], 4), acc.dtype)
         if energy:
             du = 0.5 * jnp.sum(m_eff * pi_ij * gsym * vdotr, axis=-1)
         else:
             du = jnp.zeros_like(rho_i)
-        return acc, du
+        return acc, du, dc
 
-    out, du = jax.lax.map(
+    out, du, dc = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(vel_t, nb, b), _block(h_t, nb, b),
-         _block(gidx, nb, b), _block(rho_t, nb, b), _block(cs_t, nb, b)),
+         _block(gidx, nb, b), _block(rho_t, nb, b), _block(cs_t, nb, b),
+         _block(fb_t, nb, b)),
     )
     accel = out.reshape((n_pad, 3))[:n]
+    ret = (accel,)
     if energy:
-        return accel, du.reshape((n_pad,))[:n]
-    return accel
+        ret += (du.reshape((n_pad,))[:n],)
+    if balsara:
+        ret += (dc.reshape((n_pad, 4))[:n],)
+    return ret if len(ret) > 1 else accel
 
 
 def pass2(
@@ -369,6 +407,8 @@ def pass2(
     u_src: Optional[jax.Array] = None,
     matid: Optional[jax.Array] = None,
     matid_src: Optional[jax.Array] = None,
+    fbal: Optional[jax.Array] = None,
+    fbal_src: Optional[jax.Array] = None,
 ):
     """Pressure gradient grad P_i, shape [N,3].
 
@@ -392,11 +432,20 @@ def pass2(
     equation, so KE + E_int is conserved pair-by-pair (Monaghan 1992).
     Requires `vel` (and vel_src in `src`); `u`/`u_src` feed the adiabatic
     sound speed of the AV term.
+
+    `cfg.av_balsara` (with AV active): Pi_ij is limited by
+    0.5 (f_i + f_j) with f the PREVIOUS step's Balsara factor
+    (`fbal`/`fbal_src`, default 1), and the sweep additionally
+    accumulates the raw div/curl sums dc[N,4] = (sum m_j v_ij.x_ij g,
+    sum m_j (v_ij x x_ij) g) — rho_i * (div v_i, -curl v_i) up to sign —
+    returned LAST for the caller to turn into the next factor
+    (models.planet.balsara_factor; the shared 1/rho_i cancels there).
     """
     from . import eos as eos_ops
 
     n, b, nb, n_pad, pos_t, h_t, gidx = _prep_targets(pos, h, cfg, target_offset)
     av = cfg.av_alpha > 0.0 and vel is not None
+    balsara = cfg.av_balsara and av
     if energy and vel is None:
         raise ValueError("the energy equation needs velocities; pass vel=")
     if energy and cfg.grad_p_mode == "reference_asymmetric":
@@ -408,6 +457,7 @@ def pass2(
         src = (pos, h, mass, rho, pressure) + ((vel,) if need_vel else ())
         u_src = u
         matid_src = matid
+        fbal_src = fbal
     pos_s, h_s, mass_s, rho_s, prs_s = _prep_sources(src[:5])
     rho_s = jnp.where(rho_s > 0, rho_s, 1.0)
     sidx = jnp.arange(pos_s.shape[0], dtype=jnp.int32)
@@ -427,11 +477,18 @@ def pass2(
     else:
         u_t = jnp.zeros((n_pad,), pos.dtype)
     mid_t = _pad_to(matid, n_pad, 0) if matid is not None else None
+    if balsara:
+        fb_t = _pad_to(fbal if fbal is not None
+                       else jnp.ones_like(rho), n_pad, 1.0)
+        fb_s = fbal_src if fbal_src is not None else jnp.ones_like(rho_s)
+    else:
+        fb_t = jnp.ones((n_pad,), pos.dtype)
+        fb_s = None
 
     sign_bug = cfg.kernel_deriv_sign_bug
 
     def body(args):
-        pos_i, h_i, idx_i, rho_i, prs_i, vel_i, u_i, mid_i = args
+        pos_i, h_i, idx_i, rho_i, prs_i, vel_i, u_i, mid_i, fb_i = args
         dx = pos_i[:, None, :] - pos_s[None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         r = jnp.sqrt(r2)
@@ -474,22 +531,35 @@ def pass2(
                                + kernels.dw_dr_over_r(r, h_s[None, :], False))
             else:
                 gs_av = gsym
+            if balsara:
+                pi_ij = pi_ij * (0.5 * (fb_i[:, None] + fb_s[None, :]))
             coef = coef + m_eff * pi_ij * gs_av * rho_i[:, None]
             if energy:
                 ecoef = ecoef + m_eff * pi_ij * gs_av
         gp = jnp.sum(dx * coef[..., None], axis=-2)
+        if balsara:
+            g_dc = m_eff * gs_av
+            div_sum = jnp.sum(g_dc * vdotr, axis=-1)
+            curl_sum = jnp.sum(jnp.cross(dv, dx) * g_dc[..., None], axis=-2)
+            dc = jnp.concatenate([div_sum[:, None], curl_sum], axis=-1)
+        else:
+            dc = jnp.zeros((gp.shape[0], 4), gp.dtype)
         if energy:
-            return gp, 0.5 * jnp.sum(ecoef * vdotr, axis=-1)
-        return gp, jnp.zeros_like(rho_i)
+            return gp, 0.5 * jnp.sum(ecoef * vdotr, axis=-1), dc
+        return gp, jnp.zeros_like(rho_i), dc
 
-    out, du = jax.lax.map(
+    out, du, dc = jax.lax.map(
         body,
         (_block(pos_t, nb, b), _block(h_t, nb, b), _block(gidx, nb, b),
          _block(rho_t, nb, b), _block(prs_t, nb, b), _block(vel_t, nb, b),
          _block(u_t, nb, b),
-         _block(mid_t if mid_t is not None else gidx, nb, b)),
+         _block(mid_t if mid_t is not None else gidx, nb, b),
+         _block(fb_t, nb, b)),
     )
     grad_p = out.reshape((n_pad, 3))[:n]
+    ret = (grad_p,)
     if energy:
-        return grad_p, du.reshape((n_pad,))[:n]
-    return grad_p
+        ret += (du.reshape((n_pad,))[:n],)
+    if balsara:
+        ret += (dc.reshape((n_pad, 4))[:n],)
+    return ret if len(ret) > 1 else grad_p

@@ -392,21 +392,24 @@ def _gw_from(q, inv_h, inv_h4, inv_r, sign_bug):
     return (_INV_PI) * inv_h4 * val
 
 
-def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
-                  av_alpha, av_beta, gb, b):
+def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
+                  sign_bug, av_alpha, av_beta, gb, b):
     it = iter(args)
     tx, ty, tz, tih = (next(it) for _ in range(4))
     tc = next(it) if mode != "reference_asymmetric" else None
     if av:
         tvx, tvy, tvz, th, tcs, trho = (next(it) for _ in range(6))
+        tfb = next(it) if balsara else None
     elif energy:
         tvx, tvy, tvz = (next(it) for _ in range(3))
     sx, sy, sz, sih, sm, scc = (next(it) for _ in range(6))
-    # source velocity (+AV fields) rows: vx,vy,vz[,h,cs,rho]
-    s_av = [next(it) for _ in range(6 if av else (3 if energy else 0))]
+    # source velocity (+AV fields [+balsara f]) rows: vx,vy,vz[,h,cs,rho[,f]]
+    n_sav = (7 if balsara else 6) if av else (3 if energy else 0)
+    s_av = [next(it) for _ in range(n_sav)]
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
     if av:
         avx_ref, avy_ref, avz_ref = (next(it) for _ in range(3))
+    dc_refs = [next(it) for _ in range(4)] if balsara else []
     du_ref = next(it) if energy else None
     acc = list(it)      # [] when single-trip; n_out scratch otherwise
     rows = [sx, sy, sz, sih, sm, scc] + s_av
@@ -421,6 +424,7 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
             tvxv, tvyv, tvzv = tvx[sl, :], tvy[sl, :], tvz[sl, :]
         if av:
             thv, tcsv, trhov = th[sl, :], tcs[sl, :], trho[sl, :]
+            tfbv = tfb[sl, :] if balsara else None
 
         def contrib(tiles, valid):
             cx, cy, cz, cih, cm, ccc = tiles[:6]
@@ -459,6 +463,8 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
                 pi_ij = jnp.where(vdotr < 0.0,
                                   (-av_alpha * cbar * mu
                                    + av_beta * mu * mu) / rhobar, 0.0)
+                if balsara:
+                    pi_ij = pi_ij * (0.5 * (tfbv + tiles[12]))
                 if sign_bug:
                     # AV always uses the CORRECT derivative (parity sign
                     # bug would inject energy); recompute without the bug
@@ -468,6 +474,13 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
                     gs_av = 0.5 * (gw_i + gw_j)
                 cav = m_eff * pi_ij * gs_av
                 out += [dxx * cav, dxy * cav, dxz * cav]
+                if balsara:
+                    # raw div/curl sums for the NEXT step's limiter
+                    g_dc = m_eff * gs_av
+                    out += [g_dc * vdotr,
+                            g_dc * (dvy * dxz - dvz * dxy),
+                            g_dc * (dvz * dxx - dvx * dxz),
+                            g_dc * (dvx * dxy - dvy * dxx)]
             if energy:
                 # conjugate energy equation, same per-pair quantities
                 # (ops/dense.pass2 docstring): pressure term + AV heating
@@ -501,6 +514,8 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
             avx_ref[sl, :] = sums[3]
             avy_ref[sl, :] = sums[4]
             avz_ref[sl, :] = sums[5]
+        for ref, val in zip(dc_refs, sums[6:10]):
+            ref[sl, :] = val
         if energy:
             du_ref[sl, :] = sums[-1]
 
@@ -508,7 +523,7 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, sign_bug,
 
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
-          av_beta=0.0, gb=1, energy=False):
+          av_beta=0.0, gb=1, energy=False, balsara=False):
     """Pressure-gradient sweep with precomputed per-particle coefficients.
 
     tgt cols: x,y,z,ih, then tc (absent for reference_asymmetric), then AV
@@ -520,15 +535,18 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
       asym:    coef = m cc gsym                    cc=P/rho
     Returns (gpx,gpy,gpz) — the caller applies the target-side rho scale —
     plus (avx,avy,avz) when av=True (caller scales by trho as well), plus
-    the FULLY-SCALED specific-internal-energy rate du when energy=True
-    (cfg.eos_mode='adiabatic'; no caller scale — the pairwise forms in
-    ops/dense.pass2's docstring are complete as accumulated).
+    the raw div/curl sums (4 outputs) when balsara=True (one extra f col
+    on each side limits Pi_ij by 0.5(f_i+f_j) — see ops/dense.pass2),
+    plus the FULLY-SCALED specific-internal-energy rate du when
+    energy=True (cfg.eos_mode='adiabatic'; no caller scale — the pairwise
+    forms in ops/dense.pass2's docstring are complete as accumulated).
     """
     single = src[0].shape[1] == chunk
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
-                             energy=energy, sign_bug=sign_bug,
+                             energy=energy, balsara=balsara,
+                             sign_bug=sign_bug,
                              av_alpha=av_alpha, av_beta=av_beta, gb=gb, b=b)
-    n_out = (6 if av else 3) + (1 if energy else 0)
+    n_out = (6 if av else 3) + (4 if balsara else 0) + (1 if energy else 0)
     return _call(kern, out_dtypes=[jnp.float32] * n_out, smem=[nv],
                  tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
                  n_acc=0 if single else n_out, gb=gb)

@@ -155,16 +155,19 @@ def _pass1_kernel(n_ref, xi, yi, zi, inv_hi, mi,
         nd_ref[:] = jnp.zeros_like(nd_ref)
 
 
-def _pass2_kernel(n_ref, *args, asymmetric, sign_bug, av,
+def _pass2_kernel(n_ref, *args, asymmetric, sign_bug, av, balsara,
                   av_alpha, av_beta):
     it = iter(args)
     xi, yi, zi, inv_hi, rho_i, prs_i = (next(it) for _ in range(6))
     if av:
         vxi, vyi, vzi, hi, csi = (next(it) for _ in range(5))
+        fbi = next(it) if balsara else None
     xj, yj, zj, inv_hj, mj, rho_j, prs_j = (next(it) for _ in range(7))
     if av:
         vxj, vyj, vzj, hj, csj = (next(it) for _ in range(5))
+        fbj = next(it) if balsara else None
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
+    dc_refs = [next(it) for _ in range(4)] if balsara else []
 
     dxx, dxy, dxz, r2, pair = _pair_geometry(n_ref, xi, yi, zi, xj, yj, zj)
     m_eff = jnp.where(pair, mj[:], 0.0)
@@ -193,6 +196,8 @@ def _pass2_kernel(n_ref, *args, asymmetric, sign_bug, av,
         pi_ij = jnp.where(pair & (vdotr < 0.0),
                           (-av_alpha * cbar * mu + av_beta * mu * mu)
                           / rhobar, 0.0)
+        if balsara:
+            pi_ij = pi_ij * (0.5 * (fbi[:] + fbj[:]))
         if sign_bug:
             gs_av = 0.5 * (_spline_dw_over_r(r2, inv_hi[:], False)
                            + _spline_dw_over_r(r2, inv_hj[:], False))
@@ -205,10 +210,21 @@ def _pass2_kernel(n_ref, *args, asymmetric, sign_bug, av,
         gpx_ref[:] = jnp.zeros_like(gpx_ref)
         gpy_ref[:] = jnp.zeros_like(gpy_ref)
         gpz_ref[:] = jnp.zeros_like(gpz_ref)
+        for ref in dc_refs:
+            ref[:] = jnp.zeros_like(ref)
 
     gpx_ref[:] += jnp.sum(dxx * coef, axis=1, keepdims=True)
     gpy_ref[:] += jnp.sum(dxy * coef, axis=1, keepdims=True)
     gpz_ref[:] += jnp.sum(dxz * coef, axis=1, keepdims=True)
+    if balsara:
+        # raw div/curl sums for the next step's limiter (dense.pass2)
+        g_dc = m_eff * gs_av
+        for ref, val in zip(dc_refs,
+                            (g_dc * vdotr,
+                             g_dc * (dvy * dxz - dvz * dxy),
+                             g_dc * (dvz * dxx - dvx * dxz),
+                             g_dc * (dvx * dxy - dvy * dxx))):
+            ref[:] += jnp.sum(val, axis=1, keepdims=True)
 
 
 # block specs: i-side [N,1] columns, j-side [1,N] rows, outputs [N,1]
@@ -265,15 +281,20 @@ def pass1(pos, h, mass, cfg: SimConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pass2(pos, h, mass, rho, pressure, cfg: SimConfig, vel=None):
+def pass2(pos, h, mass, rho, pressure, cfg: SimConfig, vel=None,
+          fbal=None):
     """Fused pressure-gradient sweep; returns grad P [N,3].
 
     With `vel` and cfg.av_alpha > 0, the Monaghan AV term is fused into the
-    same sweep (as an effective-gradient contribution -rho_i a_AV)."""
+    same sweep (as an effective-gradient contribution -rho_i a_AV).
+    Under cfg.av_balsara, `fbal` (the lagged limiter factors) scales
+    Pi_ij by 0.5(f_i+f_j) and the raw div/curl sums dc[N,4] are returned
+    as a second output (see ops/dense.pass2)."""
     from ...ops import eos as eos_ops
 
     n = pos.shape[0]
     av = cfg.av_alpha > 0.0 and vel is not None
+    balsara = cfg.av_balsara and av
     px, py, pz, hh, inv_h, mm = _prep(pos, h, mass)
     n_pad = px.shape[0]
     rr = _pad1(rho, 1.0)
@@ -288,18 +309,28 @@ def pass2(pos, h, mass, rho, pressure, cfg: SimConfig, vel=None):
         vz = _pad1(vel[:, 2], 0.0)
         icols += [vx, vy, vz, hh, cs]
         irows += [vx, vy, vz, hh, cs]
+        if balsara:
+            fb = _pad1(fbal if fbal is not None else jnp.ones_like(rho),
+                       1.0)
+            icols += [fb]
+            irows += [fb]
     kernel = functools.partial(
         _pass2_kernel,
         asymmetric=cfg.grad_p_mode == "reference_asymmetric",
-        sign_bug=cfg.kernel_deriv_sign_bug, av=av,
+        sign_bug=cfg.kernel_deriv_sign_bug, av=av, balsara=balsara,
         av_alpha=cfg.av_alpha, av_beta=cfg.av_beta)
     f32 = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
+    n_out = 7 if balsara else 3
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // _TI, n_pad // _TJ),
         in_specs=[_SCL] + [_COL] * len(icols) + [_ROW] * len(irows),
-        out_specs=[_COL] * 3,
-        out_shape=[f32, f32, f32],
+        out_specs=[_COL] * n_out,
+        out_shape=[f32] * n_out,
         interpret=not _on_tpu(),
     )(jnp.asarray([n], jnp.int32), *_cols(*icols), *_rows(*irows))
-    return jnp.stack([o[:n, 0] for o in outs], axis=-1)
+    grad_p = jnp.stack([o[:n, 0] for o in outs[:3]], axis=-1)
+    if balsara:
+        dc = jnp.stack([o[:n, 0] for o in outs[3:7]], axis=-1)
+        return grad_p, dc
+    return grad_p

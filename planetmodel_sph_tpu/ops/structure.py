@@ -455,6 +455,8 @@ class BlockForces(NamedTuple):
     n_approx: jax.Array
     du_dt: jax.Array         # specific-internal-energy rate (zeros unless
                              # cfg.eos_mode='adiabatic'; AV heating folded in)
+    balsara: jax.Array = None  # next-step Balsara limiter factor (None
+                               # unless cfg.av_balsara with AV enabled)
 
 
 class _Ctx(NamedTuple):
@@ -478,38 +480,35 @@ def _sort_set(grp, arrs):
 
 def _prep_ctx(pos, h, mass, cfg: SimConfig, st: BlockStructure,
               vel=None, src=None, target_offset=0,
-              sorted_io=False, u=None, matid=None) -> _Ctx:
+              sorted_io=False, u=None, matid=None, fbal=None) -> _Ctx:
     single = src is None
     need_vel = vel is not None
     tgrp = st.groups
     g = tgrp.live.shape[0]
 
+    # optional per-particle target channels, sorted alongside the geometry
+    opt = [(k, v) for k, v in (("mid", matid), ("u", u), ("fb", fbal))
+           if v is not None]
     if sorted_io:
         # inputs are already in the padded sorted [G*B] layout (the cached
         # runner keeps the state Morton-sorted between rebuilds)
         t = dict(x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], h=h, m=mass)
         if need_vel:
             t.update(vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2])
-        if u is not None:
-            t["u"] = u
-        if matid is not None:
-            t["mid"] = matid
+        for k, v in opt:
+            t[k] = v
     else:
         tf = [pos[:, 0], pos[:, 1], pos[:, 2], h, mass]
         if need_vel:
             tf += [vel[:, 0], vel[:, 1], vel[:, 2]]
-        if matid is not None:
-            tf += [matid]
-        if u is not None:
-            tf += [u]
+        tf += [v for _, v in opt]
         tcols = _sort_set(tgrp, tf)
         t = dict(x=tcols[0], y=tcols[1], z=tcols[2], h=tcols[3], m=tcols[4])
         if need_vel:
             t.update(vx=tcols[5], vy=tcols[6], vz=tcols[7])
-        if u is not None:
-            t["u"] = tcols[-1]
-        if matid is not None:
-            t["mid"] = tcols[-2] if u is not None else tcols[-1]
+        base = 8 if need_vel else 5
+        for i, (k, _) in enumerate(opt):
+            t[k] = tcols[base + i]
     t["ih"] = 1.0 / jnp.where(t["h"] > 0, t["h"], 1.0)
 
     if single:
@@ -771,7 +770,7 @@ def _unsort(st: BlockStructure, fields):
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
            u=None, src=None, target_offset=0, gather_fn=None,
-           sorted_io=False, matid=None) -> BlockForces:
+           sorted_io=False, matid=None, fbal=None) -> BlockForces:
     """Full field evaluation against current fields.
 
     The reference's whole system chain (density -> EOS -> grad P [-> AV]
@@ -798,6 +797,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     do_grav = cfg.gravity_solver == "tree"
     gradh = cfg.grad_p_mode == "grad_h"
     av = cfg.av_alpha > 0.0
+    balsara = cfg.av_balsara and av
     energy = cfg.evolves_u
     if av and vel is None:
         raise ValueError("artificial viscosity needs velocities; pass vel=")
@@ -811,7 +811,8 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av or energy else None,
                     src=src, target_offset=target_offset,
-                    sorted_io=sorted_io, u=u, matid=matid)
+                    sorted_io=sorted_io, u=u, matid=matid,
+                    fbal=fbal if balsara else None)
     t, s = ctx.t, ctx.s
 
     # gather the geometry channels ONCE; pass 1 and pass 2 reuse the same
@@ -856,6 +857,12 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         tgt2 += _cols(t["vx"], t["vy"], t["vz"], t["h"], cs_t, rho_t)
         s_extra += [s["vx"], s["vy"], s["vz"], s["h"], to_src(cs_t),
                     to_src(rho_t)]
+        if balsara:
+            fb_t = t.get("fb")
+            if fb_t is None:
+                fb_t = jnp.ones_like(rho_t)
+            tgt2 += _cols(fb_t)
+            s_extra += [to_src(fb_t)]
     elif energy:
         # energy equation without AV still needs pairwise velocities
         tgt2 += _cols(t["vx"], t["vy"], t["vz"])
@@ -863,7 +870,7 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     extra_rows = _sph_rows(s_extra, st, cfg, ctx.nb)
     outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
-        mode=cfg.grad_p_mode, av=av, energy=energy,
+        mode=cfg.grad_p_mode, av=av, energy=energy, balsara=balsara,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
         av_beta=cfg.av_beta, gb=cfg.kernel_gb)
     grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
@@ -873,6 +880,11 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         # the AV term always carries the target rho scale (all modes)
         grad_p_t = grad_p_t + jnp.concatenate(outs[3:6], axis=-1) \
             * rho_t[:, None]
+    fb_next_t = None
+    if balsara:
+        from . import dense as dense_ops
+        dc_t = jnp.concatenate(outs[6:10], axis=-1)          # [Gt*B, 4]
+        fb_next_t = dense_ops.balsara_factor(dc_t, cs_t, rho_t, t["h"])
     du_t = outs[-1][:, 0] if energy else jnp.zeros_like(rho_t)
 
     # ---- gravity ----
@@ -888,13 +900,15 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         return BlockForces(
             rho=rho_t, pressure=prs_t, grad_p=grad_p_t, phi=phi_t,
             grad_phi=grad_phi_t, n_neighbors=nn_t, n_direct=nd_t,
-            n_approx=na_t, du_dt=du_t)
-    (rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o,
-     du_o) = _unsort(st, [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t,
-                          nn_t, nd_t, na_t, du_t])
+            n_approx=na_t, du_dt=du_t, balsara=fb_next_t)
+    fields = [rho_t, prs_t, grad_p_t, phi_t, grad_phi_t, nn_t, nd_t,
+              na_t, du_t] + ([fb_next_t] if fb_next_t is not None else [])
+    out = _unsort(st, fields)
+    (rho_o, prs_o, gp_o, phi_o, gphi_o, nn_o, nd_o, na_o, du_o) = out[:9]
     return BlockForces(
         rho=rho_o, pressure=prs_o, grad_p=gp_o, phi=phi_o, grad_phi=gphi_o,
-        n_neighbors=nn_o, n_direct=nd_o, n_approx=na_o, du_dt=du_o)
+        n_neighbors=nn_o, n_direct=nd_o, n_approx=na_o, du_dt=du_o,
+        balsara=out[9] if fb_next_t is not None else None)
 
 
 def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,

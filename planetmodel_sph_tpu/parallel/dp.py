@@ -51,11 +51,12 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
     if st is not None and cfg.neighbor_mode != "grid":
         raise ValueError("frozen structures are a grid-mode optimization")
 
-    def forces(pos, h, mass, vel=None, u=None, matid=None):
+    def forces(pos, h, mass, vel=None, u=None, matid=None, fbal=None):
         local_n = pos.shape[0]
         off = jax.lax.axis_index(axis) * local_n
         gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
         av = cfg.av_alpha > 0.0
+        balsara = cfg.av_balsara and av and vel is not None
         energy = cfg.evolves_u
         pos_g, h_g, mass_g = gather(pos), gather(h), gather(mass)
         src3 = (pos_g, h_g, mass_g)
@@ -68,18 +69,23 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                 pos, h, mass, cfg, src=src3, target_offset=off)
             bf = structure.forces(pos, h, mass, cfg, st_,
                                   vel=vel if need_vel else None, u=u,
-                                  matid=matid,
+                                  matid=matid, fbal=fbal,
                                   src=src, target_offset=off,
                                   gather_fn=gather)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
             return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
                                  bf.grad_phi, bf.n_neighbors, bf.n_direct,
-                                 bf.n_approx, accel, h, bf.du_dt)
+                                 bf.n_approx, accel, h, bf.du_dt,
+                                 bf.balsara)
 
         av_extra = None
         du_dt = None
+        f_next = None
         mkw = {} if matid is None else \
             {"matid": matid, "matid_src": gather(matid)}
+        if balsara:
+            fb = fbal if fbal is not None else jnp.ones_like(h)
+            mkw.update(fbal=fb, fbal_src=gather(fb))
         if cfg.grad_p_mode == "grad_h":
             rho, omega, nn = dense.density_gradh(pos, h, mass, cfg,
                                                  src=src3, target_offset=off)
@@ -98,11 +104,14 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                     src=(pos_g, gather(vel), h_g, mass_g, gather(rho)),
                     target_offset=off, energy=energy, u=u,
                     u_src=gather(u) if energy else None, **mkw)
+                if not isinstance(va, tuple):
+                    va = (va,)
+                av_extra = va[0]
                 if energy:
-                    av_extra, av_du = va
-                    du_dt = du_dt + av_du
-                else:
-                    av_extra = va
+                    du_dt = du_dt + va[1]
+                if balsara:
+                    cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+                    f_next = dense.balsara_factor(va[-1], cs, rho, h)
         else:
             p1 = dense.pass1(pos, h, mass, cfg, src=src3, target_offset=off)
             rho, nn = p1.rho, p1.n_neighbors
@@ -114,7 +123,13 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                              target_offset=off, vel=vel, energy=energy,
                              u=u, u_src=gather(u) if energy else None,
                              **mkw)
-            grad_p, du_dt = p2 if energy else (p2, None)
+            if not isinstance(p2, tuple):
+                p2 = (p2,)
+            grad_p = p2[0]
+            du_dt = p2[1] if energy else None
+            if balsara:
+                cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
+                f_next = dense.balsara_factor(p2[-1], cs, rho, h)
 
         if cfg.gravity_solver == "tree":
             from ..ops import structure
@@ -142,7 +157,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
         if du_dt is None:
             du_dt = jnp.zeros_like(rho)
         return planet.Forces(rho, prs, grad_p, phi, grad_phi, nn,
-                             n_direct, n_approx, accel, h, du_dt)
+                             n_direct, n_approx, accel, h, du_dt, f_next)
 
     return forces
 

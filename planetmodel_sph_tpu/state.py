@@ -56,6 +56,9 @@ class ParticleState:
                     reference analog: consumed only under
                     eos_mode='tillotson' for multi-material bodies —
                     differentiated planets, mixed-material impacts)
+    balsara [N]     Balsara (1995) AV limiter factor from the previous
+                    step's div/curl sums (1 = unlimited; no reference
+                    analog — consumed only under cfg.av_balsara)
     ==============  =====================================================
     """
 
@@ -75,6 +78,7 @@ class ParticleState:
     u: jax.Array
     du_dt: jax.Array
     matid: jax.Array
+    balsara: jax.Array
 
     @property
     def n(self) -> int:
@@ -95,4 +99,5 @@ def zeros(config: SimConfig) -> ParticleState:
         pos=v3, vel=v3, mass=v1, h=v1, rho=v1, pressure=v1, grad_p=v3,
         phi=v1, grad_phi=v3, n_neighbors=i1, n_direct=i1, n_approx=i1,
         accel=v3, u=v1, du_dt=v1, matid=i1,
+        balsara=jnp.ones((n,), dt),
     )

@@ -80,4 +80,6 @@ def _fill_missing(fields: dict, cfg: SimConfig) -> ParticleState:
         fields["matid"] = jax.numpy.full(
             fields["rho"].shape, eos_ops.material_index(cfg.material),
             jax.numpy.int32)
+    if "balsara" not in fields:
+        fields["balsara"] = jax.numpy.ones_like(fields["rho"])
     return ParticleState(**fields)
