@@ -141,6 +141,27 @@ VARIANTS = {
                     multipole_order=2, theta=0.9, p2p_window=144,
                     m2p_window=144, gather_pad_rows=32,
                     grav_pair_dtype="bfloat16"),
+    # quad + wide theta on the PLAIN group-window SPH path: the recovery
+    # sweep measured every sph_exact_window variant neutral-to-worse at
+    # the settled point (the exact rows overflow at 512 and the widen
+    # retry penalizes all windows), while quad theta alone cut the p2p/m2p
+    # maxima 254->150/141->78 — the two effects compose only here.
+    # p2p/m2p sized from the measured settled maxima + margin.
+    "q09": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                theta=0.9, p2p_window=192, m2p_window=112,
+                gather_pad_rows=32),
+    "q10": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                theta=1.0, p2p_window=160, m2p_window=96,
+                gather_pad_rows=32),
+    "q10c256": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                    theta=1.0, p2p_window=160, m2p_window=96,
+                    gather_pad_rows=32, block_chunk=256),
+    "q10k32": dict(rebuild_every=32, sort_every=64, multipole_order=2,
+                   theta=1.0, nbr_window=240, p2p_window=192,
+                   m2p_window=112, gather_pad_rows=32),
+    "q10sg4": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                   theta=1.0, p2p_window=160, m2p_window=96,
+                   gather_pad_rows=32, sg_blocks=4, blk_window=768),
 }
 
 
