@@ -437,14 +437,22 @@ def jupiter_100k(**kw) -> SimConfig:
         # gather/window overhead than they save in pair math), and K=8
         # keeps every window overflow-free with margin.
         nbr_sub=32,
-        rebuild_every=8,
+        rebuild_every=16,
         sort_every=64,
+        # Round-2 winner operating point ('q10', tools/ksweep2 from the
+        # settled checkpoint): quadrupole far field at theta=1.0 — the
+        # CPU drift pre-validation (docs/ROUND2.md) measured quad
+        # theta=1.0 MORE accurate than monopole theta=0.7 while the MAC
+        # tiers shrink ~40% (settled maxima: p2p 150, m2p 78) — plus
+        # K=16 Verlet caching and 128-B-padded entry-gather rows.
+        multipole_order=2,
+        theta=1.0,
+        gather_pad_rows=32,
         # window capacities in SUB-block units; sized from measured settled-
-        # state maxima with skin (tools/ksweep) + headroom
-        nbr_window=160,
-        p2p_window=208,
-        m2p_window=128,   # ring max 107 settled (avg 49) — gathered at
-                          # capacity, so the window stays snug
+        # state maxima with skin (tools/ksweep2) + headroom
+        nbr_window=192,
+        p2p_window=160,
+        m2p_window=96,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -36,9 +36,13 @@ def test_parity_flags():
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
     # capacities cover the measured settled-state window maxima with the
-    # preset's skin (tools/ksweep at sub=32, K=8: sph max ~120, p2p max
-    # ~160, ring max ~107 sub-blocks — the m2p entries are gathered at
-    # capacity, so that window is sized snug)
-    assert cfg.nbr_window * cfg.nbr_sub >= 4000
-    assert cfg.p2p_window * cfg.nbr_sub >= 5500
-    assert cfg.m2p_window >= 112
+    # preset's skin (tools/ksweep2 'q10' at sub=32, K=16, quadrupole
+    # theta=1.0: sph max 179, p2p max 150, ring max 78 sub-blocks)
+    assert cfg.nbr_window >= 179
+    assert cfg.p2p_window >= 150
+    assert cfg.m2p_window >= 78
+    # the q10 operating point itself (measured overflow-free and 27% faster
+    # than the monopole theta=0.7 baseline, and MORE accurate: quadrupole
+    # MAC error at theta=1.0 < monopole at theta=0.7 — docs/ROUND2.md)
+    assert cfg.multipole_order == 2 and cfg.theta == 1.0
+    assert cfg.rebuild_every == 16
