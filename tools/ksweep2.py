@@ -162,6 +162,22 @@ VARIANTS = {
     "q10sg4": dict(rebuild_every=16, sort_every=64, multipole_order=2,
                    theta=1.0, p2p_window=160, m2p_window=96,
                    gather_pad_rows=32, sg_blocks=4, blk_window=768),
+    # exact SPH lists ON TOP of the q10 winner, sized ABOVE the measured
+    # ~770-candidate refined maximum (the earlier xw512 rows overflowed
+    # and the auto-widen retry penalized every window — 'neutral-to-
+    # worse' was a measurement artifact, not a verdict; ROUND2.md).
+    "q10x896": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                    theta=1.0, p2p_window=160, m2p_window=96,
+                    gather_pad_rows=32, sph_exact_window=896),
+    "q10x1024": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                     theta=1.0, p2p_window=160, m2p_window=96,
+                     gather_pad_rows=32, sph_exact_window=1024),
+    # finer sub-AABBs shrink the exact candidate set (the refine filter
+    # starts from the sub-block window); windows in sub16 units
+    "q10x768s16": dict(rebuild_every=16, sort_every=64, multipole_order=2,
+                       theta=1.0, nbr_sub=16, nbr_window=384,
+                       p2p_window=320, m2p_window=192,
+                       gather_pad_rows=32, sph_exact_window=768),
 }
 
 
