@@ -269,16 +269,14 @@ def _run_dp(args, cfg, state, start_step) -> int:
         checkpoint.save(args.checkpoint, jax.device_get(state), cfg,
                         start_step + total)
         _log(f"checkpoint -> {args.checkpoint}")
-    if dp.surfaces_overflow(cfg):
-        for key in ("nbr_overflow", "tree_overflow"):
-            tot = sum(int(r.get(key, 0)) for r in rows)
-            if tot > 0:
-                _log(f"WARNING: {key}={tot} interactions dropped — raise "
-                     f"the corresponding capacity")
-    else:
-        _log("note: per-step dp path does not surface overflow counters "
-             "(use rebuild_every>1 with the grid pipeline for counted "
-             "windows)")
+    # every dp path surfaces real counters (dp.surfaces_overflow is always
+    # True: cached paths account per rebuild, per-step paths thread them
+    # through Forces.overflow)
+    for key in ("nbr_overflow", "tree_overflow"):
+        tot = sum(int(r.get(key, 0)) for r in rows)
+        if tot > 0:
+            _log(f"WARNING: {key}={tot} interactions dropped — raise "
+                 f"the corresponding capacity")
     e = [r["total_energy"] for r in rows]
     _log(f"energy drift: {abs(e[-1]-e[0])/abs(e[0]):.3e}")
     return 0

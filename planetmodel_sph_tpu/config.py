@@ -96,7 +96,9 @@ class SimConfig:
     # 'grad_h': Springel & Hernquist (2002) formulation — gather-form
     #   density rho_i = sum m_j W(h_i), Omega correction factors, pairwise
     #   force with per-particle kernels. Energy-consistent with adaptive h
-    #   (pair with h_mode='newton'). Dense neighbor mode only this round.
+    #   (pair with h_mode='newton'). Supported on BOTH the dense and the
+    #   block/grid pipelines (structure._density_sweep gradh branch); the
+    #   100k production preset runs it.
     grad_p_mode: Literal["reference_asymmetric", "symmetric",
                          "grad_h"] = "symmetric"
 
@@ -188,8 +190,9 @@ class SimConfig:
     # pass the block MAC themselves form a windowed block-monopole tier
     # (blk_window entries). Cuts the far-scan slot count ~sg_blocks-fold —
     # at 100k the [G, NB~2k] dense block scan is ~2ms/step of pure masked
-    # slots — and keeps the far field O(N/sg) as N grows. 0/1 disables
-    # (dense block scan, the round-1 behavior).
+    # slots — and keeps the far field O(N/sg) as N grows. 0/1 disables the
+    # supergroup tier (the default: a dense block-monopole scan; measured
+    # faster than sg tiers at 100k, see tools/ksweep2 sg rows).
     sg_blocks: int = 0
     blk_window: int = 192          # block-monopole window (sg tier only)
     # Multipole order of the far-field tiers (1 = monopole — the

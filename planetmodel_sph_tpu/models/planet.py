@@ -45,6 +45,13 @@ class Forces(NamedTuple):
                       # cfg.eos_mode='adiabatic')
     balsara: jax.Array = None   # next-step Balsara AV-limiter factor
                                 # (None unless cfg.av_balsara with AV on)
+    overflow: dict = None       # structure overflow counters from any
+                                # structure built INSIDE the force
+                                # evaluation (grid mode / tree gravity),
+                                # so per-step paths can surface them
+                                # ('dropped AND counted, never silent');
+                                # None when no capacity-bounded structure
+                                # was built (dense + direct cannot drop)
 
 
 def update_h(h, n_neighbors, cfg: SimConfig):
@@ -145,8 +152,10 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
     rho, nn, phi, grad_phi, n_direct = p1
     n_approx = jnp.zeros_like(n_direct)
 
+    ov = None
     if cfg.gravity_solver == "tree":
-        phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
+        phi, grad_phi, n_direct, n_approx, ov = _block_gravity(pos, h,
+                                                               mass, cfg)
 
     prs = eos_ops.pressure_cfg(rho, cfg, u=u, matid=matid)
     # AV (when enabled) is fused into pass 2 on both dense backends; the
@@ -169,15 +178,21 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
     accel = -grad_p / rho[:, None] - grad_phi
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h, du_dt, f_next)
+                  accel, h, du_dt, f_next, ov)
 
 
 def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
-    """Block-tree gravity (fresh structure unless one is supplied)."""
+    """Block-tree gravity (fresh structure unless one is supplied).
+
+    Returns (phi, grad_phi, n_direct, n_approx, overflow) where overflow
+    is the fresh structure's counter dict (None when the caller supplied
+    a structure it already accounts for)."""
     from ..ops import structure
+    ov = None
     if st is None:
         st = structure.build(pos, h, mass, cfg)
-    return structure.gravity(pos, h, mass, cfg, st)
+        ov = structure.overflow_info(st)
+    return structure.gravity(pos, h, mass, cfg, st) + (ov,)
 
 
 def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
@@ -201,7 +216,7 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
     accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
                   bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h,
-                  bf.du_dt, bf.balsara)
+                  bf.du_dt, bf.balsara, structure.overflow_info(st))
 
 
 def _viscosity(pos, vel, h, mass, rho, cfg: SimConfig):
@@ -245,6 +260,7 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
         grad_p = dense.pass2_gradh(pos, h, mass, rho, omega, prs, cfg)
         du_dt = jnp.zeros_like(rho)
 
+    ov = None
     if cfg.gravity_solver == "direct":
         # gravity-only dense sweep (the SPH kernel math is skipped, fixing
         # the round-1 waste of a full discarded pass-1)
@@ -252,7 +268,8 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
         phi, grad_phi, n_direct = g1.phi, g1.grad_phi, g1.n_direct
         n_approx = jnp.zeros_like(n_direct)
     elif cfg.gravity_solver == "tree":
-        phi, grad_phi, n_direct, n_approx = _block_gravity(pos, h, mass, cfg)
+        phi, grad_phi, n_direct, n_approx, ov = _block_gravity(pos, h,
+                                                               mass, cfg)
     else:
         phi = jnp.zeros_like(rho)
         grad_phi = jnp.zeros_like(pos)
@@ -278,7 +295,7 @@ def _compute_forces_gradh(pos, h, mass, cfg: SimConfig, vel=None,
             cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
             f_next = balsara_factor(va[-1], cs, rho, h)
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
-                  accel, h, du_dt, f_next)
+                  accel, h, du_dt, f_next, ov)
 
 
 def _damp(vel, dt, cfg: SimConfig):
@@ -327,10 +344,19 @@ def prime(state: ParticleState, cfg: SimConfig, forces_fn=None) -> ParticleState
         **_forces_kw(cfg, state.u, state.matid, state.balsara)))
 
 
+def overflow_zero():
+    """The all-zero structure-overflow counter dict."""
+    return {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32)}
+
+
 def step_staggered(state: ParticleState, cfg: SimConfig,
                    forces_fn=None, update_smoothing=True,
-                   axis=None) -> ParticleState:
-    """Reference-ordered step (SURVEY.md §3.2)."""
+                   axis=None, return_info=False):
+    """Reference-ordered step (SURVEY.md §3.2).
+
+    `return_info=True` additionally returns the overflow counters of any
+    structure built inside the force evaluation (zeros when none was)."""
     forces_fn = forces_fn or _default_forces(cfg)
     dt = current_dt(state, cfg, axis=axis)
     h = update_h(state.h, state.n_neighbors, cfg) if update_smoothing \
@@ -344,12 +370,15 @@ def step_staggered(state: ParticleState, cfg: SimConfig,
     if cfg.evolves_u:
         # forward-Euler u update matching the staggered v update
         out = out.replace(u=state.u + dt * f.du_dt)
+    if return_info:
+        return out, (f.overflow if f.overflow is not None
+                     else overflow_zero())
     return out
 
 
 def step_kdk(state: ParticleState, cfg: SimConfig,
              forces_fn=None, update_smoothing=True,
-             axis=None) -> ParticleState:
+             axis=None, return_info=False):
     """Leapfrog kick-drift-kick; state.accel carries a(x_n) from last step.
 
     Under an evolved-u EOS the internal energy gets the same half-kick
@@ -378,14 +407,19 @@ def step_kdk(state: ParticleState, cfg: SimConfig,
     out = _apply_forces(state, f).replace(pos=pos, vel=_damp(vel, dt, cfg))
     if adiabatic:
         out = out.replace(u=u_half + 0.5 * dt * f.du_dt)
+    if return_info:
+        return out, (f.overflow if f.overflow is not None
+                     else overflow_zero())
     return out
 
 
 def step(state: ParticleState, cfg: SimConfig, forces_fn=None,
-         axis=None) -> ParticleState:
+         axis=None, return_info=False):
     if cfg.integrator == "staggered_euler":
-        return step_staggered(state, cfg, forces_fn, axis=axis)
-    return step_kdk(state, cfg, forces_fn, axis=axis)
+        return step_staggered(state, cfg, forces_fn, axis=axis,
+                              return_info=return_info)
+    return step_kdk(state, cfg, forces_fn, axis=axis,
+                    return_info=return_info)
 
 
 # ---------------------------------------------------------------------------
@@ -724,10 +758,12 @@ def run_info(state: ParticleState, cfg: SimConfig, n_steps: int):
     if cfg.rebuild_every > 1:
         return _run_cached_span(state, cfg, n_steps)
 
-    def body(s, _):
-        return step(s, cfg), None
-    out, _ = jax.lax.scan(body, state, None, length=n_steps)
-    return out, zero
+    def body(carry, _):
+        s, acc = carry
+        s, info = step(s, cfg, return_info=True)
+        return (s, jax.tree.map(jnp.add, acc, info)), None
+    (out, info), _ = jax.lax.scan(body, (state, zero), None, length=n_steps)
+    return out, info
 
 
 def run(state: ParticleState, cfg: SimConfig, n_steps: int) -> ParticleState:
@@ -755,9 +791,16 @@ def run_with_diagnostics(state: ParticleState, cfg: SimConfig,
         return jax.lax.scan(outer_c, state, None, length=n_chunks)
 
     def outer(s, _):
-        def inner(s2, _):
-            return step(s2, cfg), None
-        s, _ = jax.lax.scan(inner, s, None, length=chunk)
-        return s, diagnostics.measure(s, cfg)
+        zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
+                "tree_overflow": jnp.asarray(0, jnp.int32)}
+
+        def inner(carry, _):
+            s2, acc = carry
+            s2, i = step(s2, cfg, return_info=True)
+            return (s2, jax.tree.map(jnp.add, acc, i)), None
+        (s, info), _ = jax.lax.scan(inner, (s, zero), None, length=chunk)
+        d = diagnostics.measure(s, cfg)
+        d.update(info)
+        return s, d
 
     return jax.lax.scan(outer, state, None, length=n_chunks)

@@ -73,10 +73,14 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                                   src=src, target_offset=off,
                                   gather_fn=gather)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
+            # surface the per-build counters only when the structure was
+            # built HERE (per-step path); a frozen cached structure is
+            # accounted once at its rebuild by _local_run_cached
+            ov = structure.overflow_info(st_) if st is None else None
             return planet.Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi,
                                  bf.grad_phi, bf.n_neighbors, bf.n_direct,
                                  bf.n_approx, accel, h, bf.du_dt,
-                                 bf.balsara)
+                                 bf.balsara, ov)
 
         av_extra = None
         du_dt = None
@@ -131,10 +135,12 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                 cs = eos_ops.sound_speed_cfg(rho, cfg, u=u, matid=matid)
                 f_next = dense.balsara_factor(p2[-1], cs, rho, h)
 
+        ov = None
         if cfg.gravity_solver == "tree":
             from ..ops import structure
             st_g = structure.build(pos, h, mass, cfg, src=src3,
                                    target_offset=off)
+            ov = structure.overflow_info(st_g)
             phi, grad_phi, n_direct, n_approx = structure.gravity(
                 pos, h, mass, cfg, st_g, src=src3, target_offset=off)
         elif cfg.gravity_solver == "direct" and cfg.grad_p_mode != "grad_h":
@@ -157,7 +163,8 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
         if du_dt is None:
             du_dt = jnp.zeros_like(rho)
         return planet.Forces(rho, prs, grad_p, phi, grad_phi, nn,
-                             n_direct, n_approx, accel, h, du_dt, f_next)
+                             n_direct, n_approx, accel, h, du_dt, f_next,
+                             ov)
 
     return forces
 
@@ -232,30 +239,39 @@ def local_run_steps(state, *, cfg, axis, n_steps):
 
 
 def surfaces_overflow(cfg: SimConfig) -> bool:
-    """Whether the dp runner can report real overflow counters.
+    """Whether the dp runner reports real overflow counters.
 
-    Only the Verlet-cached grid path owns its structures; the per-step
-    path rebuilds inside the forces closure where counters are
-    unreachable. Callers must NOT print zeros from the other paths as if
-    overflow had been checked (the dropped-AND-counted contract would
-    read as satisfied when nothing was counted)."""
-    return cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid"
+    True for EVERY path that builds capacity-bounded structures: the
+    Verlet-cached grid path accounts per rebuild, and the per-step paths
+    thread the counters out of the forces closure via ``Forces.overflow``
+    (psum'd over the mesh axis). Dense-neighbor + direct-gravity configs
+    build no bounded structure — nothing can be dropped, so their zeros
+    are genuinely exhaustive. There is no silent path left."""
+    return True
 
 
 def local_run_steps_info(state, *, cfg, axis, n_steps):
     """(state, overflow info) — info is psum'd over the mesh axis so the
-    'dropped AND counted, never silent' contract holds on the dp cached
-    path. Check :func:`surfaces_overflow` before trusting the zeros
-    returned by the other paths."""
+    'dropped AND counted, never silent' contract holds on every dp path:
+    the cached path sums per-rebuild counters, the per-step path sums the
+    counters threaded through Forces.overflow each step."""
     zero = {"nbr_overflow": jnp.asarray(0, jnp.int32),
             "tree_overflow": jnp.asarray(0, jnp.int32)}
-    if surfaces_overflow(cfg):
+    if cfg.rebuild_every > 1 and cfg.neighbor_mode == "grid":
         out, info = _local_run_cached(state, cfg=cfg, axis=axis,
                                       n_steps=n_steps)
         info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
         return out, info
-    return local_run_steps(state, cfg=cfg, axis=axis,
-                           n_steps=n_steps), zero
+
+    def body(carry, _):
+        s, acc = carry
+        s, i = planet.step(s, cfg, forces_fn=_dp_forces(cfg, axis),
+                           axis=axis, return_info=True)
+        return (s, jax.tree.map(jnp.add, acc, i)), None
+    (out, info), _ = jax.lax.scan(body, (state, zero), None,
+                                  length=n_steps)
+    info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
+    return out, info
 
 
 def _local_run_cached(state, *, cfg, axis, n_steps):

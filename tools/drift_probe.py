@@ -71,19 +71,29 @@ def main():
         state0, _, _ = checkpoint.load(args.settled)
         print(f"reusing settled state {args.settled}", flush=True)
     else:
+        # settle at the stable r2-baseline physics (monopole theta=0.7)
+        # regardless of the preset's current defaults, so the shared
+        # settled state is never produced by a suspect operating point
         cfg_s = psph.jupiter_100k(**BASE, vel_damping=0.1, av_alpha=0.5,
                                   av_beta=1.0, rebuild_every=8,
-                                  sort_every=64)
+                                  sort_every=64, multipole_order=1,
+                                  theta=0.7)
         state0 = jax.jit(lambda s: planet.prime(s, cfg_s))(
             ics.polytrope(cfg_s))
-        run = jax.jit(lambda s: planet.run_info(s, cfg_s, args.settle))
+        # settle in chunks: one giant dispatch crashed the relay worker;
+        # chunking also gives progress visibility
+        run = jax.jit(lambda s: planet.run_info(s, cfg_s, args.chunk))
         t0 = time.perf_counter()
-        state0, info = run(state0)
+        done = 0
+        while done < args.settle:
+            state0, info = run(state0)
+            state0 = jax.block_until_ready(state0)
+            done += args.chunk
+            print(f"settle {done}/{args.settle} "
+                  f"({time.perf_counter()-t0:.0f}s) over="
+                  f"({int(info['nbr_overflow'])}, "
+                  f"{int(info['tree_overflow'])})", flush=True)
         state0 = jax.device_get(state0)
-        print(f"settled {args.settle} steps in "
-              f"{time.perf_counter()-t0:.0f}s over="
-              f"({int(info['nbr_overflow'])}, {int(info['tree_overflow'])})",
-              flush=True)
         checkpoint.save(args.settled, state0,
                         psph.jupiter_100k(**BASE), args.settle)
 
