@@ -22,3 +22,74 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---- fast default path (VERDICT r2 weak #8) -------------------------------
+# Heavy tests (dp matrices, cached spans, multimaterial impacts, halo at 8k)
+# carry @pytest.mark.slow and are skipped unless --runslow is given, keeping
+# the default `pytest -q` under the 3-minute CI budget. The FULL suite is
+# `pytest --runslow`.
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if _is_slow(item):
+            item.add_marker(skip)
+
+
+# Central slow-list (derived from `pytest --durations=40`, r3): these are
+# skipped without --runslow in addition to any @pytest.mark.slow markers.
+# Coverage note: every subsystem keeps at least one fast representative —
+# the driver's own dryrun_multichip covers the graft harness contract.
+SLOW_TESTS = {
+    "test_dp_cached_matches_single_chip_cached",
+    "test_graft_dryrun_multichip_clean_env",
+    "test_graft_dryrun_multichip",
+    "test_dp_tree_gravity_matches_single_chip",
+    "test_gradh_grid_newton_close_to_dense",
+    "test_dp_matches_single_chip",          # balsara + multimaterial dups
+    "test_dp_adiabatic_matches_single_chip",
+    "test_dp_cached_newton_gradh_runs",
+    "test_gradh_grid_matches_dense",
+    "test_dp_matches_single_chip_mixed_materials",
+    "test_dp_cached_collision_geometry_matches_single_chip",
+    "test_sorted_chunks_transparent",
+    "test_two_cluster_far_field_tiers",
+    "test_dp_perstep_overflow_counted_not_silent",
+    "test_limiter_suppresses_shear_but_keeps_shocks",
+    "test_h_max_caps_halo_growth",
+    "test_vel_damping_decays_kinetic_energy",
+    "test_cached_matches_exact_over_short_run",
+    "test_cached_collision_approach_no_overflow",
+    "test_gravity_tree_close_to_direct",
+    "test_dp_perstep_overflow_zero_when_sized",
+    "test_grid_matches_dense_mixed_materials",
+    "test_grid_and_pallas_match_dense_oracle",
+    "test_carry_step_rebuild_cadence",
+    "test_dead_groups_no_nan_in_sorted_io",
+    "test_cached_adiabatic_matches_exact",
+    "test_cli_run_and_resume",
+    "test_impact_drift_converges_with_dt",
+    "test_gradh_newton_energy_conservation_beats_relax",
+    "test_quadrupole_beats_monopole",
+    "test_polytrope_ic_matches_lane_emden",
+    "test_quadrupole_supergroup_tier",
+    "test_mixed_material_impact_conserves_and_heats",
+    "test_polytrope_stays_put_cold_ball_collapses",
+    "test_cli_bench_prints_one_json_line",
+}
+
+
+def _is_slow(item):
+    return ("slow" in item.keywords
+            or item.name.split("[")[0] in SLOW_TESTS)
