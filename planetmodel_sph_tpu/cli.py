@@ -231,9 +231,18 @@ def _run_dp(args, cfg, state, start_step) -> int:
         return 2
     mesh = mesh_mod.make_mesh(n_dev)
     _log(f"dp mesh over {n_dev} device(s): {mesh}")
-    state = mesh_mod.shard_state(state, mesh)
-    state = dp.make_prime(cfg, mesh)(state)
-    runner = dp.make_run_diag(cfg, mesh)
+    if cfg.dp_mode == "halo":
+        # sharded sources: Morton-range bricks + ring halo exchange +
+        # all_gathered far-chunk moments (parallel/halo.py)
+        from .parallel import halo
+        halo.check_config(cfg)
+        state = halo.morton_shard_state(state, mesh)
+        state = halo.make_prime(cfg, mesh)(state)
+        runner = halo.make_run_diag(cfg, mesh)
+    else:
+        state = mesh_mod.shard_state(state, mesh)
+        state = dp.make_prime(cfg, mesh)(state)
+        runner = dp.make_run_diag(cfg, mesh)
 
     # mirror cmd_run: clamp the chunk to the request, run the remainder too
     every = max(1, min(args.diag_every, args.steps))
@@ -272,11 +281,14 @@ def _run_dp(args, cfg, state, start_step) -> int:
     # every dp path surfaces real counters (dp.surfaces_overflow is always
     # True: cached paths account per rebuild, per-step paths thread them
     # through Forces.overflow)
-    for key in ("nbr_overflow", "tree_overflow"):
+    for key in ("nbr_overflow", "tree_overflow", "halo_violations"):
         tot = sum(int(r.get(key, 0)) for r in rows)
         if tot > 0:
-            _log(f"WARNING: {key}={tot} interactions dropped — raise "
-                 f"the corresponding capacity")
+            hint = ("re-shard with halo.morton_shard_state (particles "
+                    "migrated bricks) or raise halo_ring_radius"
+                    if key == "halo_violations"
+                    else "raise the corresponding capacity")
+            _log(f"WARNING: {key}={tot} — {hint}")
     e = [r["total_energy"] for r in rows]
     _log(f"energy drift: {abs(e[-1]-e[0])/abs(e[0]):.3e}")
     return 0

@@ -200,6 +200,17 @@ class SimConfig:
     # traceless quadrupoles to every monopole tier, cutting the MAC error
     # ~5-10x at equal theta so theta can rise and shrink the P2P tier).
     multipole_order: int = 1
+    # Tree gravity is not exactly momentum-conserving: MAC acceptance is
+    # target-dependent, so pairwise forces don't cancel (the reference
+    # leaves the same asymmetry as an open TODO — GravityFieldSystem.cs:
+    # 277-283; measured |p| growth 2.9e-2 over 10k steps at 100k). This
+    # opt-in correction subtracts the mass-weighted net gravitational
+    # force (one reduction, psum'd under dp): a_i += F_net/M_total, i.e.
+    # a uniform frame acceleration that restores exact momentum
+    # conservation without touching relative dynamics (F_net/M ~ 1e-7 in
+    # sim units — far below the MAC force error). Off by default to keep
+    # behavioral parity with the uncorrected tree.
+    grav_com_correction: bool = False
     # Pad per-entry gather table rows to this many floats (0 = off).
     # Tiny rows (<=16 B: ring/blk moment entries, single-column exact-list
     # extras) gather at a pathological ~30-150 M rows/s on this TPU while
@@ -285,6 +296,23 @@ class SimConfig:
     # lagged (state.balsara), the standard leapfrog treatment. Inert
     # unless av_alpha > 0.
     av_balsara: bool = False
+
+    # ---- data-parallel source layout (parallel/dp.py, parallel/halo.py) --
+    # 'replicated': every shard all_gathers the full global source set and
+    #   builds its own structure over it — simple, exact, and fastest up to
+    #   ~1M particles (SURVEY §2c; docs/DESIGN.md "Multi-chip").
+    # 'halo': Morton-range sharding + ring halo exchange — each shard
+    #   ppermute-collects raw particles only from its +-halo_ring_radius
+    #   ring neighbors (the spatially adjacent Morton ranges) and covers
+    #   every farther shard with all_gathered per-chunk multipole moments
+    #   (a ~25x smaller message). Gathered bytes drop from O(N) to
+    #   O(N/D + N/halo_chunk) per shard; requires morton_shard_state and
+    #   gravity_solver='tree' (or 'none') + neighbor_mode='grid'. A
+    #   non-ring chunk that drifts within interaction range of a shard is
+    #   counted loudly (halo_violations), never silently mis-approximated.
+    dp_mode: Literal["replicated", "halo"] = "replicated"
+    halo_ring_radius: int = 1      # raw-particle exchange reach (shards)
+    halo_chunk: int = 64           # particles per far-moment chunk
 
     # ---- debug toggles ----
     # parity with the reference's DISABLE_VELOCITY_SYSTEM define
@@ -435,6 +463,14 @@ def jupiter_100k(**kw) -> SimConfig:
         n=100_000,
         gravity_solver="tree",
         neighbor_mode="grid",
+        # the production physics the drift protocol validates and every
+        # measurement tool (drift100k/ksweep/roofline/trace) runs:
+        # energy-consistent grad-h SPH with the bounded Newton h-solve.
+        # Previously the tools layered these on top while the preset
+        # itself defaulted to symmetric+relax — the preset IS the
+        # operating point now, no hidden deltas.
+        grad_p_mode="grad_h",
+        h_mode="newton",
         # Measured sweep at 100k (tools/ksweep3): sub=32 beats sub=16 by
         # ~10% despite ~25% more candidate slots (finer rows cost more in
         # gather/window overhead than they save in pair math), and K=8
@@ -442,20 +478,24 @@ def jupiter_100k(**kw) -> SimConfig:
         nbr_sub=32,
         rebuild_every=16,
         sort_every=64,
-        # Round-2 winner operating point ('q10', tools/ksweep2 from the
-        # settled checkpoint): quadrupole far field at theta=1.0 — the
-        # CPU drift pre-validation (docs/ROUND2.md) measured quad
-        # theta=1.0 MORE accurate than monopole theta=0.7 while the MAC
-        # tiers shrink ~40% (settled maxima: p2p 150, m2p 78) — plus
-        # K=16 Verlet caching and 128-B-padded entry-gather rows.
-        multipole_order=2,
-        theta=1.0,
+        # Round-3 STABLE operating point ('mono_k16', tools/drift_probe
+        # A/B ladder on the TPU from one shared settled state): monopole
+        # far field at theta=0.7 + K=16 Verlet caching + 128-B-padded
+        # entry-gather rows. The quadrupole tiers (the r2 'q10' point,
+        # 26.7 steps/s) PUMP energy at 100k — every quad ladder variant
+        # (q10/q10hw/q10t07/q10k8hw/q09k8) shows a monotone dE trend
+        # from the settled polytrope while mono_k16 oscillates around
+        # zero (~4.9e-05/10k, /tmp archive -> docs/results/drift100k_v2).
+        # Shipping the stable point costs ~6%: 25.2 vs 26.7 steps/s.
+        multipole_order=1,
+        theta=0.7,
         gather_pad_rows=32,
         # window capacities in SUB-block units; sized from measured settled-
-        # state maxima with skin (tools/ksweep2) + headroom
-        nbr_window=192,
-        p2p_window=160,
-        m2p_window=96,
+        # state maxima with skin (tools/ksweep3 mono_k16 row: sph 179,
+        # p2p 251, m2p 134) + headroom
+        nbr_window=208,
+        p2p_window=288,
+        m2p_window=160,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -176,9 +176,27 @@ def compute_forces(pos, h, mass, cfg: SimConfig, vel=None, u=None,
         f_next = balsara_factor(out[-1], cs, rho, h)
 
     # dv/dt = -grad P / rho - grad Phi  (VelocitySystem.cs:28-32)
+    grad_phi = com_correct(grad_phi, mass, cfg)
     accel = -grad_p / rho[:, None] - grad_phi
     return Forces(rho, prs, grad_p, phi, grad_phi, nn, n_direct, n_approx,
                   accel, h, du_dt, f_next, ov)
+
+
+def com_correct(grad_phi, mass, cfg: SimConfig, axis=None):
+    """Opt-in exact momentum conservation for tree gravity
+    (cfg.grav_com_correction): subtract the mass-weighted mean potential
+    gradient so sum(m_i a_grav,i) = 0 — a uniform frame acceleration that
+    cancels the MAC's target-dependent force asymmetry (the reference's
+    open TODO, ``GravityFieldSystem.cs:277-283``). One reduction; psum'd
+    over `axis` under dp."""
+    if not (cfg.grav_com_correction and cfg.gravity_solver == "tree"):
+        return grad_phi
+    f = jnp.sum(mass[:, None] * grad_phi, axis=0)
+    m = jnp.sum(mass)
+    if axis is not None:
+        f = jax.lax.psum(f, axis)
+        m = jax.lax.psum(m, axis)
+    return grad_phi - f[None, :] / m
 
 
 def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
@@ -213,7 +231,12 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
         st = structure.build(pos, h, mass, cfg)
     bf = structure.forces(pos, h, mass, cfg, st, vel=vel, u=u,
                           matid=matid, fbal=fbal, sorted_io=sorted_io)
-    accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
+    # sorted_io: padding slots duplicate real particles — weight the COM
+    # reduction by the live mask so duplicates don't bias the net force
+    m_eff = mass * st.groups.live.reshape(-1) if sorted_io else mass
+    grad_phi = com_correct(bf.grad_phi, m_eff, cfg)
+    accel = -bf.grad_p / bf.rho[:, None] - grad_phi
+    bf = bf._replace(grad_phi=grad_phi)
     return Forces(bf.rho, bf.pressure, bf.grad_p, bf.phi, bf.grad_phi,
                   bf.n_neighbors, bf.n_direct, bf.n_approx, accel, h,
                   bf.du_dt, bf.balsara, structure.overflow_info(st))
@@ -540,6 +563,7 @@ def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
         n_direct = jnp.zeros_like(nn)
         n_approx = jnp.zeros_like(nn)
 
+    grad_phi = com_correct(grad_phi, mass, cfg)
     accel = -grad_p / rho[:, None] - grad_phi
     if av_extra is not None:
         accel = accel + av_extra

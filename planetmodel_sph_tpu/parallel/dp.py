@@ -72,6 +72,8 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
                                   matid=matid, fbal=fbal,
                                   src=src, target_offset=off,
                                   gather_fn=gather)
+            grad_phi = planet.com_correct(bf.grad_phi, mass, cfg, axis=axis)
+            bf = bf._replace(grad_phi=grad_phi)
             accel = -bf.grad_p / bf.rho[:, None] - bf.grad_phi
             # surface the per-build counters only when the structure was
             # built HERE (per-step path); a frozen cached structure is
@@ -157,6 +159,7 @@ def _dp_forces(cfg: SimConfig, axis: str, st=None):
             n_direct = jnp.zeros_like(nn)
             n_approx = jnp.zeros_like(nn)
 
+        grad_phi = planet.com_correct(grad_phi, mass, cfg, axis=axis)
         accel = -grad_p / rho[:, None] - grad_phi
         if av_extra is not None:
             accel = accel + av_extra

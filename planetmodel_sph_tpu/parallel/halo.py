@@ -1,0 +1,305 @@
+"""Halo-exchange data parallelism: sharded sources, ring-local raw halo.
+
+The replicated dp layout (``parallel/dp.py``) all_gathers the FULL global
+source set into every shard — fine at 100k (~1.2 MB/field) but O(N) bytes
+and an O(N) per-shard structure build, which defeats sharding beyond ~1M
+particles (VERDICT r2 weak #5). This module is the scalable layout the
+survey names (SURVEY.md §2c "ring-style halo exchange of boundary cells
+over ICI"):
+
+1. **Morton-range sharding.** :func:`morton_shard_state` sorts the global
+   state along the Morton curve before sharding, so each shard owns a
+   spatially coherent brick of the domain and its interaction partners
+   live (almost entirely) on ring-adjacent shards.
+2. **Raw halo = ring neighbors only.** Each step, a shard
+   ``ppermute``-collects the raw particle fields of its ±R ring neighbors
+   (R = cfg.halo_ring_radius) and hands ``[local | ring]`` to the SAME
+   unified block pipeline the single-chip path runs (``structure.build`` /
+   ``structure.forces`` with ``src=`` and ``target_offset=0``) — SPH
+   adjacency, near-field P2P, ring M2P and the in-range far field all come
+   from the near universe. Bytes moved: 2R·N/D per shard instead of N.
+3. **Far field = chunked multipole moments.** Every shard reduces its
+   local particles (Morton-contiguous, hence spatially tight) into
+   ``halo_chunk``-particle monopole chunks (mass, CM, AABB, bmax, max h —
+   12 floats per chunk) and ``all_gather``s just those: ~N·48/halo_chunk
+   bytes globally (~25x smaller than raw fields). Non-ring shards'
+   chunks are evaluated as far monopoles on the local targets.
+4. **Never silently wrong.** A non-ring chunk whose AABB violates the
+   conservative acceptance bound (inside the SPH cutoff or the
+   Salmon-Warren bmax/theta MAC distance of the shard's target box) is
+   still evaluated as a monopole — but COUNTED in ``halo_violations``
+   and surfaced through the runner diagnostics, mirroring the window
+   overflow contract. Violations mean the Morton sharding has degraded
+   (particles drifted across shard bricks): re-shard with
+   :func:`morton_shard_state`.
+
+Validated against the replicated path on the virtual 8-device CPU mesh
+(tests/test_halo.py); :func:`bytes_per_step` quantifies the traffic win.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SimConfig
+from ..models import planet
+from ..ops import morton, structure
+from .mesh import DP_AXIS, particle_sharding
+
+
+def check_config(cfg: SimConfig):
+    if cfg.neighbor_mode != "grid":
+        raise ValueError("dp_mode='halo' needs neighbor_mode='grid' (the "
+                         "block pipeline; dense mode wants all sources)")
+    if cfg.gravity_solver == "direct":
+        raise ValueError("dp_mode='halo' cannot serve direct O(N^2) "
+                         "gravity (it needs every raw source); use "
+                         "gravity_solver='tree' or 'none'")
+    if cfg.halo_ring_radius < 1:
+        raise ValueError("halo_ring_radius must be >= 1")
+
+
+def morton_shard_state(state, mesh: Mesh):
+    """Sort the state along the Morton curve, then shard axis 0.
+
+    Ring-halo correctness rests on shards owning contiguous Morton ranges
+    (spatially coherent bricks); ICs produce random particle order, so
+    this replaces ``mesh_mod.shard_state`` for dp_mode='halo'. Re-invoke
+    if ``halo_violations`` starts climbing (particles migrated bricks)."""
+    pos = np.asarray(state.pos)
+    lo, hi = pos.min(axis=0), pos.max(axis=0)
+    # CUBIC Morton box: morton.encode normalizes each axis separately,
+    # which would stretch an elongated domain into a cube in code space
+    # and destroy the spatial coherence of equal-count Morton ranges
+    # (ring-halo correctness rests on it). Equal-scale axes keep the
+    # curve geometry-true.
+    hi = lo + np.max(hi - lo)
+    order = np.argsort(np.asarray(morton.encode(jnp.asarray(pos),
+                                                jnp.asarray(lo),
+                                                jnp.asarray(hi))),
+                       kind="stable")
+    state = jax.tree.map(
+        lambda x: x[order] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == len(order) else x, state)
+    return jax.device_put(state, particle_sharding(mesh))
+
+
+def _ring_shifts(r: int):
+    """Deterministic collect order: +1, -1, +2, -2, ... (matches the
+    src concat layout [local | shifts...] everywhere)."""
+    out = []
+    for k in range(1, r + 1):
+        out += [k, -k]
+    return out
+
+
+def _ring_collect(x, axis: str, r: int):
+    """[n_loc, ...] -> [(2r+1)*n_loc, ...]: local shard first, then the
+    ±1..±r ring neighbors' copies, via ppermute (ICI neighbor hops)."""
+    d = jax.lax.axis_size(axis)
+    parts = [x]
+    for s in _ring_shifts(r):
+        # perm maps source->dest: shard i's data lands on shard i - s,
+        # i.e. every shard RECEIVES shard (i + s)'s data
+        perm = [(i, (i - s) % d) for i in range(d)]
+        parts.append(jax.lax.ppermute(x, axis, perm))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _chunk_moments(pos, mass, h, chunk: int):
+    """Monopole + geometry summaries of consecutive `chunk`-particle
+    slices (Morton-contiguous => spatially tight). Returns a dict of
+    [C]-leading arrays: m, cm[3], amin[3], amax[3], bmax, hmax."""
+    n = pos.shape[0]
+    if n % chunk:
+        raise ValueError(f"shard size {n} not divisible by "
+                         f"halo_chunk={chunk}")
+    c = n // chunk
+    p = pos.reshape(c, chunk, 3)
+    m = mass.reshape(c, chunk)
+    mt = jnp.sum(m, axis=1)
+    cm = jnp.sum(p * m[..., None], axis=1) / jnp.maximum(mt, 1e-30)[:, None]
+    d = p - cm[:, None, :]
+    bmax = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1), axis=1))
+    return dict(m=mt, cm=cm,
+                amin=jnp.min(p, axis=1), amax=jnp.max(p, axis=1),
+                bmax=bmax, hmax=jnp.max(h.reshape(c, chunk), axis=1))
+
+
+def _far_field(pos, h, mom, axis: str, cfg: SimConfig):
+    """Monopole contribution of non-ring shards' chunks on local targets.
+
+    `mom`: all_gathered chunk moments with leading axis D*C. Own + ring
+    shards' chunks are masked out (their raw particles already feed the
+    block pipeline). Returns (phi, grad_phi, n_far, violations)."""
+    d = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    c = mom["m"].shape[0] // d
+    shard_of = jnp.arange(d * c) // c
+    ring = jnp.zeros((d,), bool).at[me].set(True)
+    for s in _ring_shifts(cfg.halo_ring_radius):
+        ring = ring.at[(me + s) % d].set(True)
+    far = ~ring[shard_of] & (mom["m"] > 0.0)                       # [D*C]
+
+    # conservative proximity bound against the shard's target box:
+    # inside it, a monopole can exceed the theta-MAC error (gravity) or
+    # even be an SPH neighbor — count it (never silent)
+    tlo, thi = jnp.min(pos, axis=0), jnp.max(pos, axis=0)
+    t_hmax = jnp.max(h)
+    gap = jnp.maximum(jnp.maximum(tlo[None, :] - mom["amax"],
+                                  mom["amin"] - thi[None, :]), 0.0)
+    gap2 = jnp.sum(gap * gap, axis=-1)
+    theta = max(cfg.theta, 1e-3)
+    cut = jnp.maximum(cfg.kappa * jnp.maximum(t_hmax, mom["hmax"]),
+                      mom["bmax"] / theta)
+    violations = jnp.sum((gap2 < cut * cut) & far).astype(jnp.int32)
+
+    # monopole M2P (unsoftened far field, GravityFieldSystem.cs:428-442)
+    dx = mom["cm"][None, :, :] - pos[:, None, :]                  # [n,DC,3]
+    r2 = jnp.sum(dx * dx, axis=-1)
+    inv_r = jnp.where(far[None, :], 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-30)),
+                      0.0)
+    gm = cfg.g_const * mom["m"]
+    phi = -jnp.sum(gm[None, :] * inv_r, axis=1)
+    grad_phi = -jnp.sum((gm[None, :] * inv_r ** 3)[..., None] * dx, axis=1)
+    n_far = jnp.sum(far).astype(jnp.int32)
+    return phi, grad_phi, n_far, violations
+
+
+def _halo_forces(cfg: SimConfig, axis: str):
+    """Forces closure for shard_map: local targets, [local | ring] raw
+    sources, all-gathered chunk moments for the rest of the universe."""
+    check_config(cfg)
+    r = cfg.halo_ring_radius
+
+    def forces(pos, h, mass, vel=None, u=None, matid=None, fbal=None):
+        collect = lambda x: _ring_collect(x, axis, r)
+        av = cfg.av_alpha > 0.0
+        energy = cfg.evolves_u
+        need_vel = (av or energy) and vel is not None
+        src3 = (collect(pos), collect(h), collect(mass))
+        src = src3 + ((collect(vel),) if need_vel else ())
+        st = structure.build(pos, h, mass, cfg, src=src3, target_offset=0)
+        bf = structure.forces(pos, h, mass, cfg, st,
+                              vel=vel if need_vel else None, u=u,
+                              matid=matid, fbal=fbal, src=src,
+                              target_offset=0, gather_fn=collect)
+        ov = structure.overflow_info(st)
+
+        if cfg.gravity_solver == "tree":
+            mom = _chunk_moments(pos, mass, h, cfg.halo_chunk)
+            mom = {k: jax.lax.all_gather(v, axis, tiled=True)
+                   for k, v in mom.items()}
+            phi_f, gphi_f, n_far, viol = _far_field(pos, h, mom, axis, cfg)
+            phi = bf.phi + phi_f
+            grad_phi = bf.grad_phi + gphi_f
+            n_approx = bf.n_approx + n_far
+        else:
+            phi, grad_phi, n_approx = bf.phi, bf.grad_phi, bf.n_approx
+            viol = jnp.asarray(0, jnp.int32)
+        ov["halo_violations"] = viol
+
+        grad_phi = planet.com_correct(grad_phi, mass, cfg, axis=axis)
+        accel = -bf.grad_p / bf.rho[:, None] - grad_phi
+        return planet.Forces(bf.rho, bf.pressure, bf.grad_p, phi,
+                             grad_phi, bf.n_neighbors, bf.n_direct,
+                             n_approx, accel, h, bf.du_dt, bf.balsara, ov)
+
+    return forces
+
+
+def zero_info():
+    return {"nbr_overflow": jnp.asarray(0, jnp.int32),
+            "tree_overflow": jnp.asarray(0, jnp.int32),
+            "halo_violations": jnp.asarray(0, jnp.int32)}
+
+
+def make_step(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
+    """Jitted halo-dp step (state Morton-range-sharded on axis 0)."""
+    def local_step(state):
+        return planet.step(state, cfg, forces_fn=_halo_forces(cfg, axis),
+                           axis=axis)
+    return jax.jit(shard_map(local_step, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False))
+
+
+def make_prime(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
+    def local_prime(state):
+        return planet.prime(state, cfg,
+                            forces_fn=_halo_forces(cfg, axis))
+    return jax.jit(shard_map(local_prime, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False))
+
+
+def local_run_steps_info(state, *, cfg, axis, n_steps):
+    """(state, info) — per-step halo stepping; info (overflow counters +
+    halo_violations) summed over steps and psum'd over the axis."""
+    def body(carry, _):
+        s, acc = carry
+        s, i = planet.step(s, cfg, forces_fn=_halo_forces(cfg, axis),
+                           axis=axis, return_info=True)
+        i.setdefault("halo_violations", jnp.asarray(0, jnp.int32))
+        return (s, jax.tree.map(jnp.add, acc, i)), None
+    (out, info), _ = jax.lax.scan(body, (state, zero_info()), None,
+                                  length=n_steps)
+    return out, {k: jax.lax.psum(v, axis) for k, v in info.items()}
+
+
+def make_run(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
+    def run(state, n_steps):
+        f = shard_map(partial(local_run_steps_info, cfg=cfg, axis=axis,
+                              n_steps=n_steps), mesh=mesh, in_specs=P(axis),
+                      out_specs=(P(axis),
+                                 jax.tree.map(lambda _: P(), zero_info())),
+                      check_vma=False)
+        return f(state)
+    return jax.jit(run, static_argnames=("n_steps",))
+
+
+def make_run_diag(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
+    """(state, n_chunks, chunk) -> (state, stacked diagnostics) — the halo
+    analog of ``dp.make_run_diag``: one dispatch, an in-graph scan of
+    shard_map'd step chunks + global diagnostics reductions, with
+    ``halo_violations`` in every row (the loud re-shard signal)."""
+    from ..utils import diagnostics
+
+    def run(state, n_chunks, chunk):
+        inner = shard_map(partial(local_run_steps_info, cfg=cfg, axis=axis,
+                                  n_steps=chunk), mesh=mesh,
+                          in_specs=P(axis),
+                          out_specs=(P(axis),
+                                     jax.tree.map(lambda _: P(),
+                                                  zero_info())),
+                          check_vma=False)
+
+        def outer(s, _):
+            s, info = inner(s)
+            d = diagnostics.measure(s, cfg)
+            d.update(info)
+            return s, d
+
+        return jax.lax.scan(outer, state, None, length=n_chunks)
+
+    return jax.jit(run, static_argnames=("n_chunks", "chunk"))
+
+
+def bytes_per_step(cfg: SimConfig, n: int, n_dev: int,
+                   n_fields: int = 5) -> dict:
+    """Received bytes per shard per step: halo vs replicated layouts.
+
+    `n_fields`: raw per-particle f32 fields exchanged (pos counts as 3) —
+    pos+h+mass = 5 baseline, +3 with velocities, + pass-2 coefficient
+    regathers. The moments message is 12 f32 per halo_chunk particles."""
+    n_loc = n // n_dev
+    raw = 4 * n_fields
+    rep = (n_dev - 1) * n_loc * raw
+    halo = (2 * cfg.halo_ring_radius * n_loc * raw
+            + (n_dev - 1) * (n_loc // cfg.halo_chunk) * 12 * 4)
+    return {"replicated": rep, "halo": halo,
+            "ratio": rep / max(halo, 1)}
