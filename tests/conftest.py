@@ -87,6 +87,13 @@ SLOW_TESTS = {
     "test_mixed_material_impact_conserves_and_heats",
     "test_polytrope_stays_put_cold_ball_collapses",
     "test_cli_bench_prints_one_json_line",
+    # r3 additions (contended durations 18-44s each)
+    "test_com_correction_dp_matches_single_chip",
+    "test_gravity_supergroup_tier_close_to_direct",
+    "test_cached_runner_and_checkpoint_roundtrip",
+    "test_cached_run_preserves_matid_through_sort",
+    "test_cached_adaptive_h_still_converges",
+    "test_basalt_impact_heats_and_conserves",
 }
 
 

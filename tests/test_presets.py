@@ -36,13 +36,16 @@ def test_parity_flags():
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
     # capacities cover the measured settled-state window maxima with the
-    # preset's skin (tools/ksweep2 'q10' at sub=32, K=16, quadrupole
-    # theta=1.0: sph max 179, p2p max 150, ring max 78 sub-blocks)
+    # preset's skin (tools/ksweep3 'mono_k16' at sub=32, K=16, monopole
+    # theta=0.7: sph max 179, p2p max 251, ring max 134 sub-blocks)
     assert cfg.nbr_window >= 179
-    assert cfg.p2p_window >= 150
-    assert cfg.m2p_window >= 78
-    # the q10 operating point itself (measured overflow-free and 27% faster
-    # than the monopole theta=0.7 baseline, and MORE accurate: quadrupole
-    # MAC error at theta=1.0 < monopole at theta=0.7 — docs/ROUND2.md)
-    assert cfg.multipole_order == 2 and cfg.theta == 1.0
+    assert cfg.p2p_window >= 251
+    assert cfg.m2p_window >= 134
+    # the STABLE operating point: the r3 TPU drift-probe A/B ladder
+    # showed every quadrupole variant pumping energy from the settled
+    # polytrope (monotone dE trend) while monopole theta=0.7 oscillates
+    # around zero — the r2 'q10' preset was drift-invalid (VERDICT r2
+    # weak #1). Do NOT flip multipole_order back without a full 12k-step
+    # drift run (tools/drift100k.py) proving the point stable.
+    assert cfg.multipole_order == 1 and cfg.theta == 0.7
     assert cfg.rebuild_every == 16

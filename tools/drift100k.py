@@ -84,6 +84,10 @@ def main():
                     help="nbr,p2p,m2p window override, e.g. 224,256,160")
     ap.add_argument("--damp", type=float, default=0.1,
                     help="settle-phase velocity damping rate")
+    ap.add_argument("--settle-widen", type=float, default=2.0,
+                    help="initial window widen factor for the SETTLE "
+                         "phase only (the raw polytrope IC overflows "
+                         "settled-state window sizing by >100M pairs)")
     ap.add_argument("--av", type=float, default=0.5,
                     help="settle-phase Monaghan AV alpha (beta=2*alpha)")
     ap.add_argument("--set", action="append", default=[],
@@ -100,7 +104,8 @@ def main():
         state, _, step0 = checkpoint.load(ck)   # cfg rebuilt from args
         print(f"resumed {ck} at step {step0}", flush=True)
     else:
-        cfg0 = build_cfg(args, settle=args.settle > 0)
+        cfg0 = build_cfg(args, settle=args.settle > 0,
+                         widen=args.settle_widen if args.settle else 1.0)
         ic = ics.polytrope if args.ic == "polytrope" else ics.jupiter
         state = jax.jit(lambda s: planet.prime(s, cfg0),
                         static_argnums=())(ic(cfg0))
@@ -117,9 +122,16 @@ def main():
         return fn(state), cfg
 
     step = step0
-    widen = 1.0
+    # widen is tracked PER PHASE: the raw IC needs wider windows than the
+    # settled state (first-chunk h not yet adapted), and a settle-phase
+    # widen must NOT leak into the drift phase — the drift phase is the
+    # production operating point, and the final checkpoint's cfg (which
+    # bench.py loads) must carry the preset's own windows unless the
+    # drift phase itself overflowed.
+    widens = {True: args.settle_widen, False: 1.0}
     while step < args.target:
         settle = step < args.settle
+        widen = widens[settle]
         k = min(args.chunk,
                 (args.settle if settle else args.target) - step)
         (state2, info), cfg = advance(state, k, settle, widen)
@@ -128,9 +140,10 @@ def main():
             # overflow corrupts the chunk's physics (dropped interactions
             # break force symmetry): discard it, widen every window 25%,
             # and retry the same span from the pre-chunk state
-            widen = round(widen * 1.25, 4)
-            print(f"step {step}: overflow {over} -> windows x{widen}, "
-                  f"chunk retried", flush=True)
+            widens[settle] = round(widen * 1.25, 4)
+            print(f"step {step}: overflow {over} -> windows "
+                  f"x{widens[settle]} ({'settle' if settle else 'drift'} "
+                  f"phase), chunk retried", flush=True)
             continue
         state = state2
         d = {k2: float(v) for k2, v in diagnostics.measure(state, cfg).items()}

@@ -141,6 +141,13 @@ VARIANTS = {
                     multipole_order=2, theta=0.9, p2p_window=144,
                     m2p_window=144, gather_pad_rows=32,
                     grav_pair_dtype="bfloat16"),
+    # mono + K16 + padded entry gathers (the r3 drift-probe STABLE point;
+    # the quad tiers pump energy at 100k — see docs/results/drift100k_v2)
+    "mono_k16": dict(multipole_order=1, theta=0.7, rebuild_every=16,
+                     sort_every=64, gather_pad_rows=32),
+    "mono_k16x": dict(multipole_order=1, theta=0.7, rebuild_every=16,
+                      sort_every=64, gather_pad_rows=32,
+                      sph_exact_window=896),
     # quad + wide theta on the PLAIN group-window SPH path: the recovery
     # sweep measured every sph_exact_window variant neutral-to-worse at
     # the settled point (the exact rows overflow at 512 and the widen
