@@ -310,6 +310,24 @@ class SimConfig:
     #   gravity_solver='tree' (or 'none') + neighbor_mode='grid'. A
     #   non-ring chunk that drifts within interaction range of a shard is
     #   counted loudly (halo_violations), never silently mis-approximated.
+    # Per-step smoothing-length tracking between rebuilds (cached runs,
+    # h_mode='newton' + grad_p_mode='grad_h' + grid). 0.0 = freeze h for
+    # the whole rebuild period (the round-2 behavior). > 0: every step
+    # sets  h_i = clamp(eta (m_i/rho_i)^(1/3), h_rb/(1+m), h_rb*(1+m))
+    # from the PREVIOUS step's density — one elementwise op, no extra
+    # sweep — where h_rb is the chunk-boundary Newton solution and m this
+    # margin; the build widens the SPH cutoffs by (1+m) so tracked h can
+    # never outgrow the frozen windows (loud counters verify).
+    # WHY: grad-h forces are conservative only while h satisfies the
+    # consistency relation h = eta (m/rho)^(1/3). Freezing h for 16 steps
+    # while the polytrope breathes PUMPS energy at 100k (drift100k K=16
+    # runs: dE doubling ~1000 steps from ~step 7000, mono AND quad; K=8 —
+    # half the staleness — was stable at 2.8e-4/10k). Physical drift of h
+    # over 16 steps is ~(dt K/3)|div v| ~ 1-2%, so a 3-5% margin tracks
+    # faithfully; the clamp only engages on outliers, where it degrades
+    # tracking, never window validity.
+    h_track_margin: float = 0.0
+
     dp_mode: Literal["replicated", "halo"] = "replicated"
     halo_ring_radius: int = 1      # raw-particle exchange reach (shards)
     halo_chunk: int = 64           # particles per far-moment chunk
@@ -478,22 +496,28 @@ def jupiter_100k(**kw) -> SimConfig:
         nbr_sub=32,
         rebuild_every=16,
         sort_every=64,
-        # Round-3 STABLE operating point ('mono_k16', tools/drift_probe
-        # A/B ladder on the TPU from one shared settled state): monopole
-        # far field at theta=0.7 + K=16 Verlet caching + 128-B-padded
-        # entry-gather rows. The quadrupole tiers (the r2 'q10' point,
-        # 26.7 steps/s) PUMP energy at 100k — every quad ladder variant
-        # (q10/q10hw/q10t07/q10k8hw/q09k8) shows a monotone dE trend
-        # from the settled polytrope while mono_k16 oscillates around
-        # zero (~4.9e-05/10k, /tmp archive -> docs/results/drift100k_v2).
-        # Shipping the stable point costs ~6%: 25.2 vs 26.7 steps/s.
+        # Round-3 STABLE operating point ('mono_k16' + per-step h
+        # tracking, tools/drift_probe A/B ladder on the TPU from one
+        # shared settled state): monopole far field at theta=0.7 + K=16
+        # Verlet caching + 128-B-padded entry-gather rows. The
+        # quadrupole tiers (the r2 'q10' point, 26.7 steps/s) PUMP
+        # energy at 100k — every quad ladder variant (q10/q10hw/q10t07/
+        # q10k8hw/q09k8) shows a monotone dE trend from the settled
+        # polytrope, and so does K=16 with FROZEN h (docs/results/
+        # drift100k_v2/metrics_k16_frozen_h_failed.jsonl). Holding the
+        # grad-h consistency relation between rebuilds (h_track_margin,
+        # one elementwise op/step) makes K=16 drift-flat: 3.3e-5/10k,
+        # zero overflow (docs/results/drift100k_v2/metrics.jsonl).
         multipole_order=1,
         theta=0.7,
         gather_pad_rows=32,
+        h_track_margin=0.04,
         # window capacities in SUB-block units; sized from measured settled-
         # state maxima with skin (tools/ksweep3 mono_k16 row: sph 179,
-        # p2p 251, m2p 134) + headroom
-        nbr_window=208,
+        # p2p 251, m2p 134) + headroom. nbr_window carries extra room for
+        # the (1+h_track_margin) cutoff widening (12k-step drift at 208
+        # overflowed 12 slots at the settle->drift handoff).
+        nbr_window=240,
         p2p_window=288,
         m2p_window=160,
         # same mean interparticle spacing as the 3k scene is NOT preserved;

@@ -481,6 +481,14 @@ def _uses_block_cache(cfg: SimConfig) -> bool:
     return cfg.neighbor_mode == "grid" or cfg.gravity_solver == "tree"
 
 
+def _h_tracking(cfg: SimConfig) -> bool:
+    """Per-step h tracking is defined for the Newton/grad-h block
+    pipeline only (eta is the consistency-relation constant there)."""
+    return (cfg.h_track_margin > 0.0 and cfg.adaptive_h
+            and cfg.h_mode == "newton" and cfg.grad_p_mode == "grad_h"
+            and cfg.neighbor_mode == "grid")
+
+
 def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
                   groups=None):
     if not _uses_block_cache(cfg):
@@ -489,7 +497,8 @@ def _build_caches(pos, h, mass, vel, cfg: SimConfig, accel=None,
     if accel is None:
         accel = jnp.zeros_like(vel)
     skin = _skin(cfg, vel, accel)
-    return structure.build(pos, h, mass, cfg, skin=skin, groups=groups)
+    return structure.build(pos, h, mass, cfg, skin=skin, groups=groups,
+                           h_margin=cfg.h_track_margin)
 
 
 def _forces_cached(pos, h, mass, cfg: SimConfig, st, vel=None,
@@ -711,8 +720,30 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
     else:
         one = lambda s: step_kdk(s, cfg, forces_fn, update_smoothing=False)
 
+    # per-step h tracking (cfg.h_track_margin): hold the grad-h
+    # consistency relation h = eta (m/rho)^(1/3) through the chunk from
+    # the previous step's density, clamped around the chunk-boundary
+    # Newton solution so the frozen windows (built with
+    # h_margin=h_track_margin) stay valid. Frozen h over a 16-step chunk
+    # measurably pumps energy at 100k — see SimConfig.h_track_margin.
+    if _h_tracking(cfg):
+        eta = h_eta(cfg)
+        h_rb = run_state.h
+        t_lo = h_rb / (1.0 + cfg.h_track_margin)
+        t_hi = h_rb * (1.0 + cfg.h_track_margin)
+        if cfg.h_max > 0.0:
+            t_hi = jnp.minimum(t_hi, cfg.h_max)
+
+        def _tracked(s):
+            h_t = jnp.clip(eta * jnp.cbrt(s.mass
+                                          / jnp.maximum(s.rho, 1e-30)),
+                           t_lo, t_hi)
+            return s.replace(h=h_t)
+    else:
+        _tracked = lambda s: s
+
     def body(s, _):
-        return one(s), None
+        return one(_tracked(s)), None
 
     out, _ = jax.lax.scan(body, run_state, None, length=k)
     if sorted_chunk:

@@ -307,8 +307,23 @@ def _local_run_cached(state, *, cfg, axis, n_steps):
         src3 = (gather(s.pos), gather(s.h), gather(s.mass))
         st = structure.build(s.pos, s.h, s.mass, cfg, skin=skin,
                              src=src3, target_offset=off,
-                             skin_src=gather(skin))
+                             skin_src=gather(skin),
+                             h_margin=cfg.h_track_margin)
         forces_fn = _dp_forces(cfg, axis, st=st)
+        # per-step h tracking through the chunk (see SimConfig.
+        # h_track_margin and planet.run_chunk_cached) — same clamp
+        # around the chunk-boundary Newton solution
+        if planet._h_tracking(cfg):
+            eta = planet.h_eta(cfg)
+            t_lo = s.h / (1.0 + cfg.h_track_margin)
+            t_hi = s.h * (1.0 + cfg.h_track_margin)
+            if cfg.h_max > 0.0:
+                t_hi = jnp.minimum(t_hi, cfg.h_max)
+            tracked = lambda s2: s2.replace(h=jnp.clip(
+                eta * jnp.cbrt(s2.mass / jnp.maximum(s2.rho, 1e-30)),
+                t_lo, t_hi))
+        else:
+            tracked = lambda s2: s2
         if cfg.integrator == "staggered_euler":
             one = lambda s2: planet.step_staggered(s2, cfg, forces_fn,
                                                    update_smoothing=False,
@@ -319,7 +334,7 @@ def _local_run_cached(state, *, cfg, axis, n_steps):
                                              axis=axis)
 
         def body(s2, _):
-            return one(s2), None
+            return one(tracked(s2)), None
 
         out, _ = jax.lax.scan(body, s, None, length=kk)
         return out, structure.overflow_info(st)

@@ -151,3 +151,41 @@ def test_cached_collision_approach_no_overflow():
                                rtol=1e-2, atol=5e-3)
     np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
                                rtol=5e-3)
+
+
+def test_h_tracking_follows_density_between_rebuilds():
+    """cfg.h_track_margin: per-step h from the previous step's density,
+    clamped around the chunk-boundary Newton solution. During the cold
+    ball's initial collapse rho rises steadily, so the FROZEN-h cached
+    run drifts away from the per-step-rebuild oracle h while the tracked
+    run follows it — the grad-h consistency relation h = eta (m/rho)^(1/3)
+    is what makes the force conservative (SimConfig.h_track_margin; the
+    K=16 frozen-h 100k drift run pumped energy exponentially)."""
+    base = dict(n=2048, radius=12.0, particle_radius=2.5,
+                neighbor_mode="grid", gravity_solver="tree",
+                adaptive_h=True, grad_p_mode="grad_h", h_mode="newton",
+                nbr_group_level=3, nbr_window=192, p2p_window=256,
+                m2p_window=256)
+    gold_cfg = psph.default(rebuild_every=1, **base)
+    frozen_cfg = psph.default(rebuild_every=8, **base)
+    track_cfg = psph.default(rebuild_every=8, h_track_margin=0.05, **base)
+
+    st = planet.prime(ics.jupiter(gold_cfg), gold_cfg)
+    n_steps = 16
+    gold = planet.run(st, gold_cfg, n_steps)
+    frozen, info_f = planet.run_info(st, frozen_cfg, n_steps)
+    track, info_t = planet.run_info(st, track_cfg, n_steps)
+    assert int(info_t["nbr_overflow"]) == 0
+    assert int(info_t["tree_overflow"]) == 0
+
+    hg = np.asarray(gold.h)
+    err_frozen = float(np.mean(np.abs(np.asarray(frozen.h) - hg) / hg))
+    err_track = float(np.mean(np.abs(np.asarray(track.h) - hg) / hg))
+    # tracking must recover most of the per-step-rebuild h fidelity
+    assert err_track < 0.5 * err_frozen, (err_track, err_frozen)
+    # outliers are clamp-limited by design (the margin protects window
+    # validity, not tracking): worst-case must still be no worse than
+    # the frozen behavior
+    mx_frozen = float(np.max(np.abs(np.asarray(frozen.h) - hg) / hg))
+    mx_track = float(np.max(np.abs(np.asarray(track.h) - hg) / hg))
+    assert mx_track <= mx_frozen * 1.05, (mx_track, mx_frozen)
