@@ -166,6 +166,16 @@ class SimConfig:
     # fewer slots, for one amortized extra pass at rebuild. Overflow is
     # counted in the same sph_overflow counter.
     sph_exact_window: int = 0
+    # Sub-block-granularity TRUE-pair refinement of the SPH window (the
+    # cheap middle point between the raw sub-AABB window and the exact
+    # particle lists above, which measured net SLOWER at 100k — per-
+    # particle gathers lose more than the 7x slot cut wins, ksweep3 xw
+    # rows). The same rebuild-time filter_sph sweep marks candidates
+    # under the true (skin- and margin-inflated) cutoff; sub-blocks with
+    # zero surviving candidates are dropped from the [G, W] window.
+    # Per-step sweeps keep their tuned tile layout — only the valid-row
+    # count shrinks. Ignored when sph_exact_window > 0 (strictly finer).
+    sph_refine_subblock: bool = False
     # Exact-list capacity for the Newton h-solve's margin-widened
     # candidates (0: auto — sph_exact_window * (1+h_newton_clamp)^3
     # rounded up to a block_chunk multiple).

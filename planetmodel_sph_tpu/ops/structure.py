@@ -200,6 +200,54 @@ def _refine_exact(sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
     return idx, n_x, over
 
 
+def _refine_subblock(sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
+                     live_sb, pos_t, h_t, sk_t, cfg, h_margin, nsub, sub,
+                     chunk):
+    """Refine the sub-block SPH window with the TRUE pair predicate, at
+    sub-block granularity (cfg.sph_refine='subblock').
+
+    Same rebuild-time :func:`gk2.filter_sph` sweep as :func:`_refine_exact`
+    (per-candidate mask under the skin- and margin-inflated cutoff), but
+    instead of compacting survivors to particle ids — which trades the
+    contiguous 32-wide sub-block tile gathers for per-particle gathers
+    and measured NET SLOWER at 100k (ksweep3 xw rows: 21.0 vs 25.2
+    steps/s despite ~7x fewer pair slots) — the mask is reduced to "does
+    this sub-block contain ANY survivor" and the ORIGINAL [G, W] window
+    is recompacted. Per-step sweeps keep the exact tile layout and
+    per-row gather structure they were tuned for; only the valid-row
+    count drops (measured at the settled 100k point: AABB windows carry
+    ~2560 candidate slots per target for ~52 true neighbors, the true
+    union spans ~350 particles, so surviving sub-blocks ~= 3-4x fewer
+    rows). Occupancy can only shrink, so no new overflow is possible."""
+    g, w = sph_idx.shape
+    keff = cfg.kappa * (1.0 + h_margin)
+    xs = pos_sb[..., 0].reshape(-1)
+    ys = pos_sb[..., 1].reshape(-1)
+    zs = pos_sb[..., 2].reshape(-1)
+    cs = keff * h_sb.reshape(-1)
+    ms = jnp.where(live_sb, m_sb, 0.0).reshape(-1)
+    sks = sk_sb.reshape(-1)
+    cand = _window_gather([xs, ys, zs, cs, sks, ms], sph_idx, nsub, sub,
+                          chunk)
+    tgt = _cols(pos_t[..., 0].reshape(-1), pos_t[..., 1].reshape(-1),
+                pos_t[..., 2].reshape(-1), keff * h_t.reshape(-1),
+                sk_t.reshape(-1))
+    nv = jnp.minimum(n_sph, w) * sub
+    keep = gk2.filter_sph(nv, tgt, cand, b=cfg.nbr_group_size, chunk=chunk,
+                          gb=cfg.kernel_gb)
+    hit = jnp.max(keep[:, :w * sub].reshape(g, w, sub), axis=2) > 0.0
+    hit &= jnp.arange(w, dtype=jnp.int32)[None, :] \
+        < jnp.minimum(n_sph, w)[:, None]
+    # recompact the surviving sub-block ids: survivors keep their id as
+    # the sort key (window rows are already id-sorted), dead rows sink
+    keys = jnp.where(hit, jnp.clip(sph_idx, 0, nsub - 1), nsub)
+    srt = jax.lax.sort(keys, dimension=1)
+    n2 = jnp.sum(hit, axis=1).astype(jnp.int32)
+    idx = jnp.where(jnp.arange(w, dtype=jnp.int32)[None, :] < n2[:, None],
+                    srt, -1)
+    return idx, n2, sph_over
+
+
 def _block_stats(pos_b, h_b, m_b, live):
     """Per-block summaries from sorted [NB, B] fields (live-masked)."""
     big = jnp.asarray(3e30, pos_b.dtype)
@@ -332,6 +380,11 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     if cfg.sph_exact_window > 0:
         sk_t = skin_t[tgrp.tgt_idx].reshape(g, bsz)
         sph_idx, n_sph, sph_over = _refine_exact(
+            sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
+            sgrp.live, pos_t, h_t, sk_t, cfg, h_margin, nsub, sub, chunk)
+    elif cfg.sph_refine_subblock:
+        sk_t = skin_t[tgrp.tgt_idx].reshape(g, bsz)
+        sph_idx, n_sph, sph_over = _refine_subblock(
             sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
             sgrp.live, pos_t, h_t, sk_t, cfg, h_margin, nsub, sub, chunk)
 

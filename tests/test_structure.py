@@ -326,6 +326,62 @@ def test_exact_candidate_lists_match_dense(mode):
     np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["symmetric", "grad_h"])
+def test_subblock_refine_matches_dense(mode):
+    """cfg.sph_refine_subblock: the true-predicate refinement at SUB-BLOCK
+    granularity must be transparent (identical densities, neighbor counts,
+    gradients vs the dense oracle) while dropping a solid fraction of the
+    AABB window's rows — the middle point between the raw sub-AABB window
+    and the (measured net-slower) particle-exact lists."""
+    cfg = _cfg(grad_p_mode=mode, gravity_solver="none",
+               sph_refine_subblock=True)
+    pos, h, mass = _cloud(cfg.n, seed=13)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.sph_overflow) == 0
+    n_raw = float(jnp.mean(structure.build(
+        pos, h, mass, cfg.replace(sph_refine_subblock=False)).n_sph))
+    assert float(jnp.mean(st.n_sph)) < 0.8 * n_raw
+    bf = structure.forces(pos, h, mass, cfg, st)
+    dcfg = cfg.replace(neighbor_mode="dense")
+    if mode == "grad_h":
+        rho, omega, nn = dense.density_gradh(pos, h, mass, dcfg)
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2_gradh(pos, h, mass, rho, omega, prs, dcfg)
+    else:
+        p1 = dense.pass1(pos, h, mass, dcfg)
+        rho, nn = p1.rho, p1.n_neighbors
+        prs = eos_ops.pressure(rho, cfg.eos_k, cfg.eos_gamma)
+        gp = dense.pass2(pos, h, mass, rho, prs, dcfg)
+    np.testing.assert_allclose(bf.rho, rho, rtol=2e-6)
+    np.testing.assert_array_equal(bf.n_neighbors, nn)
+    np.testing.assert_allclose(bf.grad_p, gp, rtol=1e-4, atol=1e-6)
+
+
+def test_subblock_refine_cached_run_matches_unrefined():
+    """Over a Verlet-cached chunk the refined window must stay valid for
+    the whole rebuild period (the filter predicate carries the same skin
+    + h-margin inflation as the AABB pass): a multi-step cached run with
+    the refine on must match the refine-off run to fp-reassociation
+    tolerance, with zero overflow."""
+    from planetmodel_sph_tpu import config as config_mod
+    from planetmodel_sph_tpu.models import ics, planet
+
+    kw = dict(n=2048, neighbor_mode="grid", gravity_solver="tree",
+              grad_p_mode="grad_h", h_mode="newton", adaptive_h=True,
+              nbr_group_level=3, nbr_window=192, p2p_window=256,
+              m2p_window=256, rebuild_every=8, h_track_margin=0.04)
+    cfg_off = config_mod.SimConfig(**kw)
+    cfg_on = config_mod.SimConfig(sph_refine_subblock=True, **kw)
+    state = planet.prime(ics.jupiter(cfg_off), cfg_off)
+    a, info_a = planet.run_info(state, cfg_off, 16)
+    b, info_b = planet.run_info(state, cfg_on, 16)
+    assert int(info_b["nbr_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=1e-4)
+
+
 def test_exact_candidate_overflow_counted_not_silent():
     cfg = _cfg(sph_exact_window=8, gravity_solver="none")
     pos, h, mass = _cloud(cfg.n, seed=4)

@@ -185,6 +185,14 @@ VARIANTS = {
                        theta=1.0, nbr_sub=16, nbr_window=384,
                        p2p_window=320, m2p_window=192,
                        gather_pad_rows=32, sph_exact_window=768),
+    # round-3: sub-block-granularity true-pair refinement (keeps the
+    # tuned tile gathers, drops dead rows) on the tracked-h preset,
+    # mono and quad far field
+    "r3base": dict(),
+    "r3sbr":  dict(sph_refine_subblock=True),
+    "r3q10":  dict(multipole_order=2, theta=1.0),
+    "r3q10sbr": dict(multipole_order=2, theta=1.0,
+                     sph_refine_subblock=True),
 }
 
 
