@@ -176,6 +176,14 @@ class SimConfig:
     # Per-step sweeps keep their tuned tile layout — only the valid-row
     # count shrinks. Ignored when sph_exact_window > 0 (strictly finer).
     sph_refine_subblock: bool = False
+    # Post-refine SPH window capacity (0 = keep nbr_window). The per-step
+    # source-row gathers are CAPACITY-shaped — they fetch the full [G, W]
+    # window every step regardless of occupancy — and the refine shrinks
+    # real occupancy far below the AABB capacity (measured max 64 of a
+    # 240-row window at the settled 100k point), so truncating the
+    # refined window cuts per-step gather traffic proportionally.
+    # Truncation drops counted interactions (same loud-overflow contract).
+    sph_refined_window: int = 0
     # Exact-list capacity for the Newton h-solve's margin-widened
     # candidates (0: auto — sph_exact_window * (1+h_newton_clamp)^3
     # rounded up to a block_chunk multiple).
@@ -337,6 +345,17 @@ class SimConfig:
     # faithfully; the clamp only engages on outliers, where it degrades
     # tracking, never window validity.
     h_track_margin: float = 0.0
+
+    # RESPA multirate tree gravity (impulse/Trotter splitting, Tuckerman
+    # et al. 1992): the far tiers (ring sub-block monopoles + dense
+    # block/supergroup scan — the slowly-varying part of the force) are
+    # evaluated every `respa_every` steps from CURRENT positions and
+    # applied as half-period velocity impulses bracketing the inner
+    # near-field (SPH + P2P) KDK steps. 1 = off (every tier every step).
+    # Gated to the cached grid+tree KDK pipeline with fixed dt;
+    # respa_every must divide rebuild_every. The inner steps skip the
+    # moment reductions AND the ring/far entry gathers entirely.
+    respa_every: int = 1
 
     dp_mode: Literal["replicated", "halo"] = "replicated"
     halo_ring_radius: int = 1      # raw-particle exchange reach (shards)

@@ -215,7 +215,7 @@ def _block_gravity(pos, h, mass, cfg: SimConfig, st=None):
 
 def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
                   matid=None, fbal=None, solve_h=True,
-                  sorted_io=False) -> Forces:
+                  sorted_io=False, grav_tiers="all") -> Forces:
     """Grid-mode force evaluation on the unified block pipeline.
 
     `solve_h`: run the bounded Newton h-solve (h_mode='newton') before the
@@ -230,7 +230,8 @@ def _forces_block(pos, h, mass, cfg: SimConfig, st, vel=None, u=None,
         h = structure.solve_h_newton(pos, h, mass, cfg, h_eta(cfg))
         st = structure.build(pos, h, mass, cfg)
     bf = structure.forces(pos, h, mass, cfg, st, vel=vel, u=u,
-                          matid=matid, fbal=fbal, sorted_io=sorted_io)
+                          matid=matid, fbal=fbal, sorted_io=sorted_io,
+                          grav_tiers=grav_tiers)
     # sorted_io: padding slots duplicate real particles — weight the COM
     # reduction by the live mask so duplicates don't bias the net force
     m_eff = mass * st.groups.live.reshape(-1) if sorted_io else mass
@@ -742,10 +743,83 @@ def run_chunk_cached(state: ParticleState, cfg: SimConfig, k: int,
     else:
         _tracked = lambda s: s
 
-    def body(s, _):
-        return one(_tracked(s)), None
+    respa = (cfg.respa_every > 1 and cfg.gravity_solver == "tree"
+             and cfg.neighbor_mode == "grid"
+             and cfg.integrator != "staggered_euler"
+             and cfg.dt_mode == "fixed" and not cfg.freeze_velocity)
+    if cfg.respa_every > 1 and not respa:
+        raise ValueError(
+            "respa_every > 1 needs the cached grid+tree KDK pipeline "
+            "with fixed dt (got neighbor_mode=%r gravity_solver=%r "
+            "integrator=%r dt_mode=%r)" % (
+                cfg.neighbor_mode, cfg.gravity_solver, cfg.integrator,
+                cfg.dt_mode))
+    if respa:
+        # impulse-RESPA multirate gravity (SimConfig.respa_every): the
+        # far tiers become half-period velocity kicks around m inner
+        # near-field (SPH + P2P) steps; far moments/fields re-evaluated
+        # from CURRENT positions once per period instead of every step.
+        from ..ops import structure
+        m = cfg.respa_every
+        if k % m:
+            raise ValueError(f"respa_every={m} must divide the chunk "
+                             f"length {k}")
+        dt = cfg.dt
+        mass_r = run_state.mass
+        live_w = (st.groups.live.reshape(-1).astype(run_state.pos.dtype)
+                  if sorted_chunk else 1.0)
 
-    out, _ = jax.lax.scan(body, run_state, None, length=k)
+        def far_eval(s):
+            phi_f, gphi_f, na_f = structure.gravity_far(
+                s.pos, s.h, mass_r, cfg, st, sorted_io=sorted_chunk)
+            gphi_f = com_correct(gphi_f, mass_r * live_w, cfg)
+            return phi_f, gphi_f, na_f
+
+        if sorted_chunk:
+            near_fn = lambda p, hh, mm, vel=None, u=None, matid=None, \
+                fbal=None: \
+                _forces_block(p, hh, mm, cfg, st, vel=vel, u=u,
+                              matid=matid, fbal=fbal, solve_h=False,
+                              sorted_io=True, grav_tiers="near")
+        else:
+            near_fn = lambda p, hh, mm, vel=None, u=None, matid=None, \
+                fbal=None: \
+                _forces_block(p, hh, mm, cfg, st, vel=vel, u=u,
+                              matid=matid, fbal=fbal, solve_h=False,
+                              grav_tiers="near")
+        one_near = lambda s: step_kdk(s, cfg, near_fn,
+                                      update_smoothing=False)
+
+        # seed the carried accel with the near-only part: state.accel is
+        # full (near+far) at the current positions, the fresh far field
+        # is evaluated at the same positions on the just-rebuilt structure
+        phi0, gphi0, na0 = far_eval(run_state)
+        run2 = run_state.replace(accel=run_state.accel + gphi0)
+
+        def inner(s, _):
+            return one_near(_tracked(s)), None
+
+        def outer(carry, _):
+            s, gphi_f, _, _ = carry
+            s = s.replace(vel=s.vel - (0.5 * m * dt) * gphi_f)
+            s, _ = jax.lax.scan(inner, s, None, length=m)
+            phi_f, gphi2, na_f = far_eval(s)
+            s = s.replace(vel=s.vel - (0.5 * m * dt) * gphi2)
+            return (s, gphi2, phi_f, na_f), None
+
+        (out, gphi_l, phi_l, na_l), _ = jax.lax.scan(
+            outer, (run2, gphi0, phi0, na0), None, length=k // m)
+        # restore the full-field invariant for diagnostics and the next
+        # chunk's seed (all evaluated at the final positions)
+        out = out.replace(accel=out.accel - gphi_l,
+                          grad_phi=out.grad_phi + gphi_l,
+                          phi=out.phi + phi_l,
+                          n_approx=na_l)
+    else:
+        def body(s, _):
+            return one(_tracked(s)), None
+
+        out, _ = jax.lax.scan(body, run_state, None, length=k)
     if sorted_chunk:
         out = _permute_state(out, grp.unsort_idx)
     if return_groups:

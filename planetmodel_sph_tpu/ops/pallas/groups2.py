@@ -664,14 +664,19 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
 # ---------------------------------------------------------------------------
 
 def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
-                          has_blk, nm):
+                          has_blk, nm, has_p2p=True):
     # nm: moment fields per tier entry — 4 (m,cx,cy,cz) monopole, 10
     # (+Qxx,Qxy,Qxz,Qyy,Qyz,Qzz traceless quadrupole)
+    # has_p2p=False: far-only launch (ring + blk + far scan) — the RESPA
+    # multirate outer force (SimConfig.respa_every); the near tier then
+    # runs per inner step via :func:`p2p`.
     it = iter(args)
-    nvp_ref, nvr_ref = next(it), next(it)
+    nvp_ref = next(it) if has_p2p else None
+    nvr_ref = next(it)
     nvb_ref = next(it) if has_blk else None
     tx, ty, tz, tih = (next(it) for _ in range(4))
-    prows = [next(it) for _ in range(4 if receiver_soft else 5)]
+    prows = [next(it) for _ in range(4 if receiver_soft else 5)] \
+        if has_p2p else None
     rrows = [next(it) for _ in range(nm)]         # ring moments
     brows = [next(it) for _ in range(nm)] if has_blk else None
     frows = [next(it) for _ in range(nm)]         # far moments (2-D)
@@ -783,7 +788,8 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
 
     # near tier first: its count reduces to n_direct, then the counter is
     # reused for the two monopole tiers (n_approx)
-    _sweep(nvp_ref[pid], 0, prows, chunk, p2p_body)
+    if has_p2p:
+        _sweep(nvp_ref[pid], 0, prows, chunk, p2p_body)
     nd_ref[:] = _rsum(a_cnt).astype(jnp.int32)
     a_cnt[:] = zero
     _sweep(nvr_ref[pid], 0, rrows, chunk, mono_body)
@@ -807,7 +813,7 @@ def _gravity_fused_kernel(*args, chunk, receiver_soft, g_const, bf16,
 
 def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
                   accept, *, b, chunk, receiver_soft, g_const, bf16=False,
-                  nv_blk=None, blk_rows=None):
+                  nv_blk=None, blk_rows=None, has_p2p=True):
     """All gravity tiers in one kernel launch (one grid pass per target
     group; ~0.35 ms/launch grid machinery and the per-tier target loads
     and XLA tier-summing paid once instead of three-to-four times).
@@ -822,13 +828,10 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
     INCLUDED (see :func:`p2p`)."""
     has_blk = blk_rows is not None
     nm = len(ring_rows)
-    sp = p2p_rows[0].shape[1]
     sr = ring_rows[0].shape[1]
     nbpad = far_rows[0].shape[1]
     g_total = tgt[0].shape[0] // b
     col = pl.BlockSpec((b, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    rowp = pl.BlockSpec((1, 1, sp), lambda g: (g, 0, 0),
-                        memory_space=pltpu.VMEM)
     rowr = pl.BlockSpec((1, 1, sr), lambda g: (g, 0, 0),
                         memory_space=pltpu.VMEM)
     rowf = pl.BlockSpec((1, nbpad), lambda g: (0, 0),
@@ -839,8 +842,17 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
            [jax.ShapeDtypeStruct((g_total * b, 1), jnp.int32)] * 2
     kern = functools.partial(_gravity_fused_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const,
-                             bf16=bf16, has_blk=has_blk, nm=nm)
-    smem, blk_specs, blk_args = [nv_p2p, nv_ring], [], []
+                             bf16=bf16, has_blk=has_blk, nm=nm,
+                             has_p2p=has_p2p)
+    p2p_specs, p2p_args = [], []
+    smem = [nv_p2p, nv_ring] if has_p2p else [nv_ring]
+    if has_p2p:
+        sp = p2p_rows[0].shape[1]
+        rowp = pl.BlockSpec((1, 1, sp), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+        p2p_specs = [rowp] * len(p2p_rows)
+        p2p_args = [r[:, None, :] for r in p2p_rows]
+    blk_specs, blk_args = [], []
     if has_blk:
         sb = blk_rows[0].shape[1]
         rowb = pl.BlockSpec((1, 1, sb), lambda g: (g, 0, 0),
@@ -851,13 +863,13 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
     return pl.pallas_call(
         kern,
         grid=(g_total,),
-        in_specs=[_SCL] * len(smem) + [col] * 4 + [rowp] * len(p2p_rows)
+        in_specs=[_SCL] * len(smem) + [col] * 4 + p2p_specs
         + [rowr] * nm + blk_specs + [rowf] * nm + [rowa],
         out_specs=[col] * 6,
         out_shape=outs,
         scratch_shapes=[pltpu.VMEM((b, chunk), jnp.float32)
                         for _ in range(5)],
         interpret=not _on_tpu(),
-    )(*smem, *tgt, *[r[:, None, :] for r in p2p_rows],
+    )(*smem, *tgt, *p2p_args,
       *[r[:, None, :] for r in ring_rows], *blk_args, *far_rows,
       accept[:, None, :])

@@ -243,9 +243,19 @@ def _refine_subblock(sph_idx, n_sph, sph_over, pos_sb, h_sb, m_sb, sk_sb,
     keys = jnp.where(hit, jnp.clip(sph_idx, 0, nsub - 1), nsub)
     srt = jax.lax.sort(keys, dimension=1)
     n2 = jnp.sum(hit, axis=1).astype(jnp.int32)
-    idx = jnp.where(jnp.arange(w, dtype=jnp.int32)[None, :] < n2[:, None],
-                    srt, -1)
-    return idx, n2, sph_over
+    # optional post-refine truncation: the per-step row gathers are
+    # CAPACITY-shaped ([G, W] regardless of occupancy), so narrowing the
+    # refined window to cfg.sph_refined_window directly cuts per-step
+    # gather traffic (measured refine keeps max 64 of a 240 AABB window
+    # at the settled 100k point). Truncation drops counted interactions —
+    # same loud-overflow contract as every other capacity.
+    w2 = cfg.sph_refined_window or w
+    w2 = min(w2, w)
+    srt = srt[:, :w2]
+    idx = jnp.where(jnp.arange(w2, dtype=jnp.int32)[None, :]
+                    < jnp.minimum(n2, w2)[:, None], srt, -1)
+    over = sph_over + jnp.sum(jnp.maximum(n2 - w2, 0))
+    return idx, jnp.minimum(n2, w2), over
 
 
 def _block_stats(pos_b, h_b, m_b, live):
@@ -634,7 +644,9 @@ def _sph_nv(st: BlockStructure, cfg: SimConfig):
     """Valid pair-slot count per target group for the SPH window."""
     if cfg.sph_exact_window > 0:
         return jnp.minimum(st.n_sph, cfg.sph_exact_window)
-    return jnp.minimum(st.n_sph, cfg.nbr_window) * cfg.nbr_sub
+    # capacity from the window's actual shape — the sub-block refine may
+    # have truncated it below cfg.nbr_window (sph_refined_window)
+    return jnp.minimum(st.n_sph, st.sph_idx.shape[1]) * cfg.nbr_sub
 
 
 def _sph_rows(cols, st: BlockStructure, cfg: SimConfig, nb):
@@ -702,9 +714,15 @@ def _entry_gather(cols, idx, chunk, pad_rows=0):
     return [jnp.pad(v, ((0, 0), (0, pad))) for v in gat]
 
 
-def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
+def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure,
+                    tiers: str = "all"):
     """Three-tier gravity: dense block-monopole scan (M2P, gather-free,
     current moments) + windowed sub-block-monopole ring + sub-granular P2P.
+
+    `tiers`: 'all' (one fused launch), 'near' (P2P only — the RESPA
+    inner force, skips the moment reductions and ring/far gathers
+    entirely), 'far' (ring + blk + dense far scan — the RESPA outer
+    force, evaluated every cfg.respa_every steps).
     """
     bsz = cfg.nbr_group_size
     sub = cfg.nbr_sub
@@ -713,6 +731,21 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
     nb = ctx.nb
     nsub = nb * (bsz // sub)
     sgrp = st.src_groups if not ctx.single else st.groups
+
+    if tiers == "near":
+        receiver = cfg.softening_mode == "receiver_h"
+        self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
+        nv_p2p = jnp.minimum(st.n_p2p, cfg.p2p_window) * sub
+        srcp = _window_gather(_geom(s), st.p2p_idx, nsub, sub, chunk)
+        if receiver:
+            srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
+        phi_c, gx, gy, gz, nd_c = gk2.p2p(
+            nv_p2p, _cols(t["x"], t["y"], t["z"], t["ih"]), srcp, b=bsz,
+            chunk=chunk, receiver_soft=receiver, g_const=cfg.g_const,
+            bf16=cfg.grav_pair_dtype == "bfloat16", gb=cfg.kernel_gb)
+        phi = phi_c[:, 0] + self_phi
+        grad_phi = jnp.concatenate([gx, gy, gz], axis=-1)
+        return phi, grad_phi, nd_c[:, 0] - 1, jnp.zeros_like(nd_c[:, 0])
 
     quad = cfg.multipole_order >= 2
 
@@ -792,6 +825,16 @@ def _gravity_sweeps(ctx: _Ctx, cfg: SimConfig, st: BlockStructure):
                               chunk, pad_rows=cfg.gather_pad_rows)
     nv_ring = jnp.minimum(st.n_m2p, cfg.m2p_window)
 
+    if tiers == "far":
+        phi_c, gx, gy, gz, _, na_c = gk2.gravity_fused(
+            None, nv_ring, _cols(t["x"], t["y"], t["z"], t["ih"]),
+            None, ring_rows, far_rows, st.accept, b=bsz, chunk=chunk,
+            receiver_soft=receiver, g_const=cfg.g_const, bf16=bf16,
+            nv_blk=nv_blk, blk_rows=blk_rows, has_p2p=False)
+        grad_phi = jnp.concatenate([gx, gy, gz], axis=-1)
+        return (phi_c[:, 0], grad_phi,
+                jnp.zeros_like(na_c[:, 0]), na_c[:, 0])
+
     # near tier: particle-particle over sub-block windows. The kernel
     # includes the self pair (dx=0 kills the force; the Dyer-Ip inner
     # branch adds the finite self potential -2.4 m_i/a_i at x=0, and the
@@ -823,7 +866,8 @@ def _unsort(st: BlockStructure, fields):
 
 def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
            u=None, src=None, target_offset=0, gather_fn=None,
-           sorted_io=False, matid=None, fbal=None) -> BlockForces:
+           sorted_io=False, matid=None, fbal=None,
+           grav_tiers: str = "all") -> BlockForces:
     """Full field evaluation against current fields.
 
     The reference's whole system chain (density -> EOS -> grad P [-> AV]
@@ -942,7 +986,8 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     # ---- gravity ----
     if do_grav:
-        phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st)
+        phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st,
+                                                        tiers=grav_tiers)
     else:
         phi_t = jnp.zeros_like(rho_t)
         grad_phi_t = jnp.zeros_like(grad_p_t)
@@ -975,6 +1020,24 @@ def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
                     target_offset=target_offset)
     phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st)
     return tuple(_unsort(st, [phi_t, grad_phi_t, nd_t, na_t]))
+
+
+def gravity_far(pos, h, mass, cfg: SimConfig, st: BlockStructure,
+                sorted_io=False):
+    """Far-tier tree gravity only (ring sub-block monopoles + dense
+    block/supergroup scan): (phi_far, grad_phi_far, n_approx).
+
+    The RESPA outer force (SimConfig.respa_every): evaluated once per
+    outer period from CURRENT positions (fresh moments — the
+    GenerateMomentsSTJob parity property holds at the outer cadence),
+    applied as half-period velocity impulses around the inner near-field
+    steps. `sorted_io`: inputs/outputs stay in the padded sorted layout
+    (the cached runner's chunk format)."""
+    ctx = _prep_ctx(pos, h, mass, cfg, st, sorted_io=sorted_io)
+    phi_t, grad_phi_t, _, na_t = _gravity_sweeps(ctx, cfg, st, tiers="far")
+    if sorted_io:
+        return phi_t, grad_phi_t, na_t
+    return tuple(_unsort(st, [phi_t, grad_phi_t, na_t]))
 
 
 def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
@@ -1019,7 +1082,9 @@ def solve_h_newton(pos, h, mass, cfg: SimConfig, eta: float,
     # throwaway structure: skip the gravity partition; margin-scaled
     # capacities keep the widened adjacency overflow-free
     cfg = cfg.replace(sph_exact_window=wx,
-                      nbr_window=scale(cfg.nbr_window, 16))
+                      nbr_window=scale(cfg.nbr_window, 16),
+                      sph_refined_window=(scale(cfg.sph_refined_window, 16)
+                                          if cfg.sph_refined_window else 0))
     st = build(pos, h, mass, cfg, src=src, target_offset=target_offset,
                h_margin=c, groups=groups, sph_only=True)
     ctx = _prep_ctx(pos, h, mass, cfg, st, src=src,

@@ -382,6 +382,28 @@ def test_subblock_refine_cached_run_matches_unrefined():
                                rtol=1e-4)
 
 
+def test_subblock_refined_window_truncation():
+    """cfg.sph_refined_window: ample capacity is transparent vs the
+    untruncated refine (the per-step gathers just shrink); an undersized
+    capacity drops interactions LOUDLY via the sph overflow counter."""
+    cfg = _cfg(grad_p_mode="symmetric", gravity_solver="none",
+               sph_refine_subblock=True)
+    pos, h, mass = _cloud(cfg.n, seed=13)
+    st_full = structure.build(pos, h, mass, cfg)
+    wmax = int(jnp.max(st_full.n_sph))
+    ample = cfg.replace(sph_refined_window=wmax + 8)
+    st_a = structure.build(pos, h, mass, ample)
+    assert int(st_a.sph_overflow) == 0
+    assert st_a.sph_idx.shape[1] == wmax + 8
+    bf_a = structure.forces(pos, h, mass, ample, st_a)
+    bf_f = structure.forces(pos, h, mass, cfg, st_full)
+    np.testing.assert_allclose(bf_a.rho, bf_f.rho, rtol=1e-6)
+    np.testing.assert_array_equal(bf_a.n_neighbors, bf_f.n_neighbors)
+    tight = cfg.replace(sph_refined_window=max(wmax // 2, 1))
+    st_t = structure.build(pos, h, mass, tight)
+    assert int(st_t.sph_overflow) > 0
+
+
 def test_exact_candidate_overflow_counted_not_silent():
     cfg = _cfg(sph_exact_window=8, gravity_solver="none")
     pos, h, mass = _cloud(cfg.n, seed=4)

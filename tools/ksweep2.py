@@ -193,6 +193,19 @@ VARIANTS = {
     "r3q10":  dict(multipole_order=2, theta=1.0),
     "r3q10sbr": dict(multipole_order=2, theta=1.0,
                      sph_refine_subblock=True),
+    # + post-refine window truncation (per-step gathers are capacity-
+    # shaped; refined max measured 64 of the 240 AABB capacity)
+    "r3sbr96":  dict(sph_refine_subblock=True, sph_refined_window=96),
+    "r3sbr80":  dict(sph_refine_subblock=True, sph_refined_window=80),
+    "r3sbr96k32": dict(sph_refine_subblock=True, sph_refined_window=96,
+                       rebuild_every=32),
+    # + impulse-RESPA multirate far field (respa_every)
+    "r3sbr96r4": dict(sph_refine_subblock=True, sph_refined_window=96,
+                      respa_every=4),
+    "r3sbr96k32r4": dict(sph_refine_subblock=True, sph_refined_window=96,
+                         rebuild_every=32, respa_every=4),
+    "r3sbr96k32r8": dict(sph_refine_subblock=True, sph_refined_window=96,
+                         rebuild_every=32, respa_every=8),
 }
 
 
@@ -223,7 +236,8 @@ def main():
             for k, v in VARIANTS[name].items():
                 kw[k] = (r16(v) if k in ("nbr_window", "p2p_window",
                                          "m2p_window", "blk_window",
-                                         "sph_exact_window") else v)
+                                         "sph_exact_window",
+                                         "sph_refined_window") else v)
             cfg = config_mod.jupiter_100k(**kw)
             label = name if widen == 1.0 else f"{name}*{widen:g}"
             try:
