@@ -67,7 +67,9 @@ def main() -> int:
     try:
         import os
         ck = next((p for p in
-                   ("docs/results/drift100k_v2/state.psph",
+                   ("docs/results/drift100k_r3ship/state.psph",
+                    "docs/results/drift100k_q10t/state.psph",
+                    "docs/results/drift100k_v2/state.psph",
                     "docs/results/drift100k/state.psph")
                    if os.path.exists(p)), None)
         big = run_bench(n=100_000, steps=64, preset="jupiter_100k",

@@ -355,6 +355,8 @@ class SimConfig:
     # Gated to the cached grid+tree KDK pipeline with fixed dt;
     # respa_every must divide rebuild_every. The inner steps skip the
     # moment reductions AND the ring/far entry gathers entirely.
+    # Single-chip runner only: the dp runner evaluates every tier at
+    # full rate (correct physics, without the multirate saving).
     respa_every: int = 1
 
     dp_mode: Literal["replicated", "halo"] = "replicated"
@@ -520,35 +522,48 @@ def jupiter_100k(**kw) -> SimConfig:
         h_mode="newton",
         # Measured sweep at 100k (tools/ksweep3): sub=32 beats sub=16 by
         # ~10% despite ~25% more candidate slots (finer rows cost more in
-        # gather/window overhead than they save in pair math), and K=8
-        # keeps every window overflow-free with margin.
+        # gather/window overhead than they save in pair math).
         nbr_sub=32,
-        rebuild_every=16,
+        rebuild_every=32,
         sort_every=64,
-        # Round-3 STABLE operating point ('mono_k16' + per-step h
-        # tracking, tools/drift_probe A/B ladder on the TPU from one
-        # shared settled state): monopole far field at theta=0.7 + K=16
-        # Verlet caching + 128-B-padded entry-gather rows. The
-        # quadrupole tiers (the r2 'q10' point, 26.7 steps/s) PUMP
-        # energy at 100k — every quad ladder variant (q10/q10hw/q10t07/
-        # q10k8hw/q09k8) shows a monotone dE trend from the settled
-        # polytrope, and so does K=16 with FROZEN h (docs/results/
-        # drift100k_v2/metrics_k16_frozen_h_failed.jsonl). Holding the
-        # grad-h consistency relation between rebuilds (h_track_margin,
-        # one elementwise op/step) makes K=16 drift-flat: 3.3e-5/10k,
-        # zero overflow (docs/results/drift100k_v2/metrics.jsonl).
-        multipole_order=1,
-        theta=0.7,
+        # Round-3 operating point (tools/ksweep2 r3 ladder + 12k-step
+        # drift validations from the settled polytrope, all on the TPU):
+        #
+        #   21.0 steps/s  round-2 ship (mono K=8, frozen h)
+        #   24.6          + per-step h tracking, K=16 (h_track_margin —
+        #                   frozen h over a 16-step chunk PUMPS energy;
+        #                   tracking is what makes long chunks stable,
+        #                   see the h_track_margin field doc)
+        #   26.7          + sub-block true-pair refine (sph rows 79->37)
+        #   30.1          + post-refine window truncation (gathers are
+        #                   capacity-shaped: 240 -> 96 rows fetched/step)
+        #   32.3          + K=32 Verlet chunks
+        #   36.3          + impulse-RESPA far field every 8 steps
+        #   42.0          + quadrupole far field at theta=1.0 (the
+        #                   10-field far scan is ~free under RESPA while
+        #                   the ~2x smaller P2P tier pays every step) +
+        #                   capacity-tightened gravity windows
+        #
+        # The round-2 'quad pumps energy' diagnosis was frozen-h in
+        # disguise: with tracked h BOTH far fields are drift-flat
+        # (mono 3.3e-5, quad 2.2e-5 per 10k steps — drift100k_v2/ and
+        # drift100k_q10t/), and the full stack is re-validated at this
+        # exact preset (drift100k_r3ship/).
+        multipole_order=2,
+        theta=1.0,
         gather_pad_rows=32,
         h_track_margin=0.04,
-        # window capacities in SUB-block units; sized from measured settled-
-        # state maxima with skin (tools/ksweep3 mono_k16 row: sph 179,
-        # p2p 251, m2p 134) + headroom. nbr_window carries extra room for
-        # the (1+h_track_margin) cutoff widening (12k-step drift at 208
-        # overflowed 12 slots at the settle->drift handoff).
+        sph_refine_subblock=True,
+        sph_refined_window=96,
+        respa_every=8,
+        # window capacities in SUB-block units; sized from measured
+        # settled-state maxima with K=32 skins (ksweep2 r3q10sbrk32r8w:
+        # sph pre-refine 187 / post-refine 64, p2p 161, m2p 92) +
+        # headroom. Per-step gathers are capacity-shaped, so capacities
+        # hug the maxima; overflow is counted loudly, never silent.
         nbr_window=240,
-        p2p_window=288,
-        m2p_window=160,
+        p2p_window=192,
+        m2p_window=128,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.
         radius=50.0,

@@ -94,6 +94,11 @@ SLOW_TESTS = {
     "test_cached_run_preserves_matid_through_sort",
     "test_cached_adaptive_h_still_converges",
     "test_basalt_impact_heats_and_conserves",
+    # r3 feature tests: each keeps a fast sibling (tier-split exactness,
+    # subblock-refine oracle + truncation) in the default path
+    "test_respa_tracks_full_rate_run",
+    "test_subblock_refine_cached_run_matches_unrefined",
+    "test_h_tracking_follows_density_between_rebuilds",
 }
 
 

@@ -36,16 +36,18 @@ def test_parity_flags():
 def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
     # capacities cover the measured settled-state window maxima with the
-    # preset's skin (tools/ksweep3 'mono_k16' at sub=32, K=16, monopole
-    # theta=0.7: sph max 179, p2p max 251, ring max 134 sub-blocks)
-    assert cfg.nbr_window >= 179
-    assert cfg.p2p_window >= 251
-    assert cfg.m2p_window >= 134
-    # the STABLE operating point: the r3 TPU drift-probe A/B ladder
-    # showed every quadrupole variant pumping energy from the settled
-    # polytrope (monotone dE trend) while monopole theta=0.7 oscillates
-    # around zero — the r2 'q10' preset was drift-invalid (VERDICT r2
-    # weak #1). Do NOT flip multipole_order back without a full 12k-step
-    # drift run (tools/drift100k.py) proving the point stable.
-    assert cfg.multipole_order == 1 and cfg.theta == 0.7
-    assert cfg.rebuild_every == 16
+    # preset's K=32 skin (tools/ksweep2 'r3q10sbrk32r8w': sph pre-refine
+    # max 187 / post-refine max 64, p2p max 161, ring max 92 sub-blocks)
+    assert cfg.nbr_window >= 187
+    assert cfg.sph_refined_window >= 64 + 16
+    assert cfg.p2p_window >= 161
+    assert cfg.m2p_window >= 92
+    # The drift-validated operating point: long Verlet chunks are stable
+    # ONLY with per-step h tracking (frozen h pumps energy — the r2
+    # 'q10 pumps' diagnosis was frozen-h in disguise; both far fields
+    # are drift-flat with tracking, docs/results/drift100k_v2 + _q10t).
+    # Do NOT change these knobs without a full 12k-step drift run
+    # (tools/drift100k.py) proving the new point stable.
+    assert cfg.h_track_margin > 0.0
+    assert cfg.rebuild_every == 32 and cfg.respa_every == 8
+    assert cfg.multipole_order == 2 and cfg.theta == 1.0

@@ -206,6 +206,24 @@ VARIANTS = {
                          rebuild_every=32, respa_every=4),
     "r3sbr96k32r8": dict(sph_refine_subblock=True, sph_refined_window=96,
                          rebuild_every=32, respa_every=8),
+    # quad far field under RESPA: the 10-field dense far scan that made
+    # q10 lose at full rate is divided by respa_every, while its ~2x
+    # smaller P2P tier pays off every inner step
+    "r3q10sbr96k32r8": dict(multipole_order=2, theta=1.0,
+                            sph_refine_subblock=True,
+                            sph_refined_window=96,
+                            rebuild_every=32, respa_every=8),
+    # + capacity-tightened gravity windows (gathers are capacity-shaped;
+    # q10 K=32 maxima measured p2p ~166, m2p ~100)
+    "r3q10sbrk32r8w": dict(multipole_order=2, theta=1.0,
+                           sph_refine_subblock=True,
+                           sph_refined_window=96,
+                           rebuild_every=32, respa_every=8,
+                           p2p_window=192, m2p_window=128),
+    # mono with a wider MAC (smaller P2P tier, monopole-only error)
+    "r3t08sbrk32r8": dict(theta=0.8, sph_refine_subblock=True,
+                          sph_refined_window=96,
+                          rebuild_every=32, respa_every=8),
 }
 
 
