@@ -4,37 +4,168 @@ The reference's entire L4 is a live Unity viewport: per-particle colored
 spheres scaled to the support radius, updated every frame
 (``Assets/Scripts/Systems/ParticleAuthoring.cs:53-79,193-199`` + Hybrid
 Renderer). This is the headless-TPU stand-in: ``cli run --serve PORT``
-starts a tiny in-process HTTP server; the run loop pushes each rendered
-frame + the latest diagnostics into it, and a browser at
-``http://localhost:PORT`` shows the evolving planet with live conserved-
-quantity metrics (the roadmap text-UI the reference never built,
-``README.md:51-54``).
+starts a tiny in-process HTTP server; the run loop pushes each frame +
+the latest diagnostics into it, and a browser at
+``http://localhost:PORT`` shows the evolving planet two ways:
 
-Zero dependencies beyond the stdlib: frames are the same matplotlib PNGs
-as ``utils.render``; the page polls ``/frame.png`` and ``/diag.json``.
+- an interactive WebGL point cloud (drag to orbit, wheel to zoom,
+  per-particle color from log-density or material id, point size from
+  the smoothing length — the Unity-viewport analog, raw binary frames
+  over ``/points.bin``), and
+- the matplotlib projection PNG (``/frame.png``) with live conserved-
+  quantity metrics (``/diag.json``) — the roadmap text-UI the reference
+  never built (``README.md:51-54``).
+
+Zero dependencies beyond the stdlib and the browser's own WebGL1: the
+point-cloud renderer is ~120 lines of inline vanilla JS (no vendored
+three.js — this image has no network egress, and a point cloud needs
+one shader pair and a 4x4 matrix).
 """
 
 from __future__ import annotations
 
 import io
 import json
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _PAGE = b"""<!doctype html>
 <html><head><title>planetmodel-sph-tpu live</title><style>
 body { background:#101014; color:#ddd; font:14px monospace; margin:0; }
-#wrap { display:flex; flex-wrap:wrap; }
-img { margin:8px; border:1px solid #333; max-width:min(96vw,780px); }
+#wrap { display:flex; flex-wrap:wrap; align-items:flex-start; }
+canvas { margin:8px; border:1px solid #333; background:#07070a;
+         touch-action:none; }
+img { margin:8px; border:1px solid #333; max-width:min(44vw,520px); }
 #diag { margin:8px; padding:8px; white-space:pre; }
 h1 { font-size:16px; margin:8px; color:#8cf; }
+#hint { color:#678; margin:0 8px 8px; }
 </style></head><body>
 <h1>planetmodel-sph-tpu &mdash; live view</h1>
-<div id="wrap"><img id="frame" src="/frame.png"><div id="diag"></div></div>
+<p id="hint">drag: orbit &middot; wheel: zoom &middot; color:
+log&nbsp;&rho; (or material id) &middot; size: smoothing length</p>
+<div id="wrap">
+  <canvas id="gl" width="760" height="700"></canvas>
+  <div><img id="frame" src="/frame.png"><div id="diag"></div></div>
+</div>
 <script>
 const KEYS = ["step","total_energy","kinetic_energy","potential_energy",
   "internal_energy","momentum_mag","angular_momentum_z","radius_rms",
   "neighbors_avg","h_avg","rho_max","vel_max","steps_per_sec"];
+
+// ---- minimal WebGL1 point-cloud renderer (no libraries) ----
+const cv = document.getElementById("gl");
+const gl = cv.getContext("webgl", {antialias:false});
+let nPts = 0, theta = 0.5, phi = 0.35, dist = 3.0, scale = 1.0;
+if (gl) {
+  const vs = `attribute vec3 aPos; attribute float aVal;
+    attribute float aH; uniform mat4 uMVP; uniform float uPt;
+    varying float vVal;
+    void main(){ gl_Position = uMVP * vec4(aPos, 1.0);
+      gl_PointSize = clamp(uPt * aH / max(gl_Position.w, 1e-3), 1.5, 14.0);
+      vVal = aVal; }`;
+  const fs = `precision mediump float; varying float vVal;
+    void main(){
+      vec2 c = gl_PointCoord - 0.5;
+      if (dot(c, c) > 0.25) discard;
+      float t = clamp(vVal, 0.0, 1.0);            // blue->cyan->yellow->red
+      vec3 col = t < 0.5 ? mix(vec3(0.15,0.25,0.9), vec3(0.2,0.9,0.9), t*2.0)
+                         : mix(vec3(0.2,0.9,0.9), vec3(1.0,0.85,0.15),
+                               (t-0.5)*2.0);
+      col = mix(col, vec3(1.0,0.25,0.1), smoothstep(0.85, 1.0, t));
+      gl_FragColor = vec4(col, 0.85); }`;
+  const sh = (type, src) => { const s = gl.createShader(type);
+    gl.shaderSource(s, src); gl.compileShader(s); return s; };
+  const prog = gl.createProgram();
+  gl.attachShader(prog, sh(gl.VERTEX_SHADER, vs));
+  gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, fs));
+  gl.linkProgram(prog); gl.useProgram(prog);
+  gl.enable(gl.BLEND); gl.blendFunc(gl.SRC_ALPHA, gl.ONE);
+  const bufs = {pos: gl.createBuffer(), val: gl.createBuffer(),
+                h: gl.createBuffer()};
+  const attr = (name, buf, size) => { const a = gl.getAttribLocation(prog,
+      name); gl.bindBuffer(gl.ARRAY_BUFFER, buf);
+    gl.enableVertexAttribArray(a);
+    gl.vertexAttribPointer(a, size, gl.FLOAT, false, 0, 0); };
+  const uMVP = gl.getUniformLocation(prog, "uMVP");
+  const uPt = gl.getUniformLocation(prog, "uPt");
+
+  cv.onpointerdown = e => { cv.setPointerCapture(e.pointerId);
+    cv._drag = [e.clientX, e.clientY]; };
+  cv.onpointerup = () => { cv._drag = null; };
+  cv.onpointermove = e => { if (!cv._drag) return;
+    theta += (e.clientX - cv._drag[0]) * 0.008;
+    phi = Math.max(-1.5, Math.min(1.5, phi + (e.clientY - cv._drag[1])
+                                   * 0.008));
+    cv._drag = [e.clientX, e.clientY]; };
+  cv.onwheel = e => { e.preventDefault();
+    dist *= Math.pow(1.1, Math.sign(e.deltaY)); };
+
+  window.drawCloud = function () {
+    gl.viewport(0, 0, cv.width, cv.height);
+    gl.clearColor(0.027, 0.027, 0.04, 1.0);
+    gl.clear(gl.COLOR_BUFFER_BIT);
+    if (!nPts) return;
+    // column-major MVP = perspective * lookAt(orbit camera at origin)
+    const ct = Math.cos(theta), st = Math.sin(theta);
+    const cp = Math.cos(phi), sp = Math.sin(phi);
+    const ex = dist * cp * st, ey = dist * sp, ez = dist * cp * ct;
+    let zx = ex, zy = ey, zz = ez;                    // forward = eye - 0
+    const zl = Math.hypot(zx, zy, zz); zx /= zl; zy /= zl; zz /= zl;
+    let xx = zz, xy = 0, xz = -zx;                    // right = up x z
+    const xl = Math.hypot(xx, xy, xz) || 1; xx /= xl; xz /= xl;
+    const yx = zy * xz - zz * xy, yy = zz * xx - zx * xz,
+          yz = zx * xy - zy * xx;
+    const f = 2.0, near = 0.05, far = 50.0, a = cv.width / cv.height;
+    const k = 1.0 / scale;
+    // M = P * V * S  (S = uniform 1/scale so data fits the unit ball)
+    const vtx = [xx*k, yx*k, zx*k, 0,  xy*k, yy*k, zy*k, 0,
+                 xz*k, yz*k, zz*k, 0,
+                 -(xx*ex+xy*ey+xz*ez), -(yx*ex+yy*ey+yz*ez),
+                 -(zx*ex+zy*ey+zz*ez), 1];
+    const P = [f/a,0,0,0, 0,f,0,0,
+               0,0,-(far+near)/(far-near),-1,
+               0,0,-2*far*near/(far-near),0];
+    const M = new Float32Array(16);
+    for (let c = 0; c < 4; c++) for (let r = 0; r < 4; r++) {
+      let s = 0;
+      for (let i = 0; i < 4; i++) s += P[i*4+r] * vtx[c*4+i];
+      M[c*4+r] = s;
+    }
+    gl.uniformMatrix4fv(uMVP, false, M);
+    gl.uniform1f(uPt, 140.0 / (scale * dist));
+    gl.drawArrays(gl.POINTS, 0, nPts);
+  };
+
+  window.loadCloud = async function () {
+    const buf = await (await fetch("/points.bin", {cache:"no-store"}))
+      .arrayBuffer();
+    if (buf.byteLength < 8) return;
+    const head = new Uint32Array(buf, 0, 2);
+    const n = head[0];
+    if (!n) return;
+    const f32 = new Float32Array(buf, 8);
+    scale = f32[0] || 1.0;
+    const pos = f32.subarray(1, 1 + 3 * n);
+    const val = f32.subarray(1 + 3 * n, 1 + 4 * n);
+    const hh = f32.subarray(1 + 4 * n, 1 + 5 * n);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bufs.pos);
+    gl.bufferData(gl.ARRAY_BUFFER, pos, gl.DYNAMIC_DRAW);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bufs.val);
+    gl.bufferData(gl.ARRAY_BUFFER, val, gl.DYNAMIC_DRAW);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bufs.h);
+    gl.bufferData(gl.ARRAY_BUFFER, hh, gl.DYNAMIC_DRAW);
+    attr("aPos", bufs.pos, 3); attr("aVal", bufs.val, 1);
+    attr("aH", bufs.h, 1);
+    nPts = n;
+  };
+  (function anim() { window.drawCloud(); requestAnimationFrame(anim); })();
+  (async function poll() {
+    try { await window.loadCloud(); } catch (e) {}
+    setTimeout(poll, 700);
+  })();
+}
+
 async function tick() {
   try {
     const d = await (await fetch("/diag.json", {cache:"no-store"})).json();
@@ -53,12 +184,44 @@ tick();
 """
 
 
+def _points_payload(state) -> bytes:
+    """Binary point-cloud frame: uint32 n, uint32 reserved, then f32
+    [scale, pos[3n], color[n], h[n]].
+
+    Color is the normalized log-density (the Unity viewport colors by a
+    per-particle scalar, ``ParticleAuthoring.cs:193-199``) unless the
+    state carries >1 material id, in which case materials get distinct
+    ramp positions. Scale is the 95th-percentile radius, so the unit-ball
+    camera always frames the planet rather than escaped halo particles.
+    """
+    import numpy as np
+
+    pos = np.asarray(state.pos, np.float32)
+    n = pos.shape[0]
+    hh = np.asarray(state.h, np.float32)
+    matid = np.asarray(state.matid) if getattr(state, "matid", None) \
+        is not None else None
+    if matid is not None and np.unique(matid).size > 1:
+        val = (matid.astype(np.float32) / max(float(matid.max()), 1.0))
+    else:
+        rho = np.maximum(np.asarray(state.rho, np.float32), 1e-30)
+        lg = np.log10(rho)
+        lo, hi = np.percentile(lg, 5.0), np.percentile(lg, 99.5)
+        val = ((lg - lo) / max(hi - lo, 1e-6)).astype(np.float32)
+    r = np.linalg.norm(pos, axis=1)
+    scale = float(np.percentile(r, 95.0)) or 1.0
+    return (struct.pack("<II", n, 0)
+            + np.float32(scale).tobytes()
+            + pos.tobytes() + val.tobytes() + hh.tobytes())
+
+
 class LiveViewer:
     """Holds the latest frame/diagnostics; serves them over HTTP."""
 
     def __init__(self, port: int, host: str = "127.0.0.1"):
         self._lock = threading.Lock()
         self._png: bytes = b""
+        self._points: bytes = b""
         self._diag: dict = {}
         viewer = self
 
@@ -73,6 +236,10 @@ class LiveViewer:
                 elif path == "/frame.png":
                     with viewer._lock:
                         body, ctype = viewer._png, "image/png"
+                elif path == "/points.bin":
+                    with viewer._lock:
+                        body = viewer._points
+                    ctype = "application/octet-stream"
                 elif path == "/diag.json":
                     with viewer._lock:
                         body = json.dumps(viewer._diag).encode()
@@ -98,8 +265,10 @@ class LiveViewer:
         from . import render
         buf = io.BytesIO()
         render.render_png(state, buf, **render_kw)
+        points = _points_payload(state)
         with self._lock:
             self._png = buf.getvalue()
+            self._points = points
             if diag is not None:
                 self._diag = {k: (float(v) if hasattr(v, "__float__") else v)
                               for k, v in diag.items()}

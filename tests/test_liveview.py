@@ -33,5 +33,15 @@ def test_liveview_serves_frame_and_diag():
         got = json.loads(dj)
         assert got["step"] == 7
         assert abs(got["mass"] - 100.0) < 1e-3
+        # WebGL point-cloud frame: header + f32 [scale, pos, color, h]
+        code, pts = _get(v.port, "/points.bin")
+        assert code == 200
+        import struct
+        n, _ = struct.unpack("<II", pts[:8])
+        assert n == 128
+        assert len(pts) == 8 + 4 * (1 + 5 * n)
+        # the interactive viewer is wired into the page
+        code, body = _get(v.port, "/")
+        assert b"points.bin" in body and b"getContext" in body
     finally:
         v.close()
