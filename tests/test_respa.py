@@ -85,8 +85,12 @@ def test_respa_requires_supported_pipeline():
         planet.run(state, cfg, 8)
 
 
-def test_respa_must_divide_chunk():
-    cfg = _cfg(respa_every=3, rebuild_every=8)
+def test_respa_remainder_chunk_falls_back_to_full_rate():
+    """A chunk length respa_every can't divide (e.g. the remainder of a
+    diag cadence over long Verlet chunks) runs full-rate — identical
+    physics, no raise, finite outputs."""
+    cfg = _cfg(respa_every=8, rebuild_every=8)
     state = planet.prime(ics.jupiter(cfg), cfg)
-    with pytest.raises(ValueError, match="divide"):
-        planet.run(state, cfg, 8)
+    out, info = planet.run_info(state, cfg, 12)   # 8 respa + 4 full-rate
+    assert not bool(jnp.any(jnp.isnan(out.pos)))
+    assert float(jnp.max(out.rho)) > 1e-6
