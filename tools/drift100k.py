@@ -54,7 +54,16 @@ def build_cfg(args, settle: bool, widen: float = 1.0):
     kw.update(nbr_window=r16(nw), p2p_window=r16(pw), m2p_window=r16(mw))
     if settle:
         kw.update(vel_damping=args.damp,
-                  av_alpha=args.av, av_beta=2.0 * args.av)
+                  av_alpha=args.av, av_beta=2.0 * args.av,
+                  # the settle phase is throwaway quasi-static relaxation
+                  # — run it on conservative short full-rate chunks (the
+                  # raw IC's noisy accelerations blow up K=32 Verlet
+                  # skins and RESPA impulses; measured: 66M dropped tree
+                  # interactions -> NaN by step 2000 when the ship
+                  # preset's K=32/respa8 ran the settle). The DRIFT
+                  # phase is the validation target and runs the preset
+                  # exactly as shipped.
+                  rebuild_every=8, respa_every=1)
     for item in (args.set or []):
         k, v = item.split("=")
         kw[k] = psph.config.parse_override(k, v)
