@@ -132,6 +132,29 @@ def test_dp_cached_newton_gradh_runs():
     assert float(jnp.max(out.rho)) > 1e-8
 
 
+def test_dp_subblock_refine_and_tracking_matches_single_chip():
+    """The round-3 production stack under dp: sub-block true-pair refine
+    + refined-window truncation + per-step h tracking over Verlet-cached
+    spans must track the single-chip runner (respa is single-chip-only
+    and deliberately absent here)."""
+    cfg = psph.default(n=1024, radius=30.0, particle_radius=3.0,
+                       block_n=128, gravity_solver="tree",
+                       neighbor_mode="grid", rebuild_every=4,
+                       grad_p_mode="grad_h", h_mode="newton",
+                       h_track_margin=0.04, sph_refine_subblock=True,
+                       sph_refined_window=64,
+                       nbr_group_size=32, nbr_group_level=2,
+                       nbr_window=128, p2p_window=128, m2p_window=128)
+    st = planet.prime(ics.jupiter(cfg), cfg.replace(rebuild_every=1))
+    ref, _ = planet.run_info(st, cfg, 4)
+    mesh = mesh_mod.make_mesh(8)
+    out = dp.make_run(cfg, mesh)(mesh_mod.shard_state(st, mesh), 4)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=1e-4)
+
+
 @pytest.mark.parametrize("nbr", ["dense", "grid"])
 @pytest.mark.parametrize("av", [0.0, 1.0])
 @pytest.mark.parametrize("mode", ["symmetric", "reference_asymmetric",
