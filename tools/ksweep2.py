@@ -224,6 +224,21 @@ VARIANTS = {
     "r3t08sbrk32r8": dict(theta=0.8, sph_refine_subblock=True,
                           sph_refined_window=96,
                           rebuild_every=32, respa_every=8),
+    # round-3 finisher: the preset IS the ship point now, so these are
+    # small deltas on top of it (run with --windows 240,192,128 to match
+    # the preset capacities).
+    "r3ship": dict(),
+    # wider quad MAC: moves P2P pairs into the RESPA'd (amortized) ring/
+    # far tiers; quadrupole error ~theta^4 so theta 1.2 stays small
+    "r3t12": dict(theta=1.2, p2p_window=160, m2p_window=160),
+    "r3t14": dict(theta=1.4, p2p_window=144, m2p_window=192),
+    # tighter post-refine truncation (settled refined max measured 64)
+    "r3w80": dict(sph_refined_window=80),
+    "r3t12w80": dict(theta=1.2, p2p_window=160, m2p_window=160,
+                     sph_refined_window=80),
+    "r3r16": dict(respa_every=16),
+    "r3t12w80r16": dict(theta=1.2, p2p_window=160, m2p_window=160,
+                        sph_refined_window=80, respa_every=16),
 }
 
 
