@@ -14,9 +14,20 @@ against the north-star target rate (6M particle-steps/s = 60 steps/s at
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
+
+# Persistent XLA compilation cache (VERDICT r3 weak #2): the 100k stage
+# cold-compiles for many minutes on the relay-backed chip, which is most of
+# the driver's bench window. The cache directory survives across rounds on
+# this machine, so a re-run (or the driver's end-of-round run after this
+# round primed it) loads the executable instead of recompiling.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from planetmodel_sph_tpu.bench import run_bench
 
@@ -65,12 +76,9 @@ def main() -> int:
     print(json.dumps(result), flush=True)
 
     try:
-        import os
         ck = next((p for p in
-                   ("docs/results/drift100k_r3ship/state.psph",
-                    "docs/results/drift100k_q10t/state.psph",
-                    "docs/results/drift100k_v2/state.psph",
-                    "docs/results/drift100k/state.psph")
+                   ("docs/results/drift100k_r4ship/state.psph",
+                    "docs/results/drift100k_r3ship/state.psph")
                    if os.path.exists(p)), None)
         big = run_bench(n=100_000, steps=64, preset="jupiter_100k",
                         checkpoint_path=ck)

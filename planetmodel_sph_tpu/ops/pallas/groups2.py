@@ -1,9 +1,21 @@
-"""Optimized windowed block-pair kernels — v2 of ops/pallas/groups.py.
+"""Optimized windowed block-pair kernels (the production Pallas sweeps).
 
-Same contracts as groups.py (the reference hot loops they replace are cited
-there: ``KernelSystem.cs:235-335``, ``GravityFieldSystem.cs:133-215,332-356``)
-with three measured structural changes, worth ~35-45% of kernel time at the
-settled 100k operating point (tools/profile_block.py):
+These replace the reference's hot loops — the per-pair kernel math of
+``CalculateInteractionJob`` (``KernelSystem.cs:235-335``) and the gravity
+treewalk/P2P (``GravityFieldSystem.cs:133-215,332-356``). The shared
+contract for every kernel here:
+
+- Targets arrive as [G*B, 1] sorted-layout columns, sources as [G, S]
+  window rows (gathered by ``ops/structure.py``); each grid step sweeps
+  one target group's dense masked [B, CHUNK] pair tiles.
+- `nv` (SMEM) is the per-group count of VALID source slots; chunks beyond
+  it never execute, and slots past `nv` within the last chunk are masked
+  by an iota compare.
+- Outputs are [G*B, 1] per-target accumulations in f32.
+
+Three measured structural changes over the round-1 design, worth ~35-45%
+of kernel time at the settled 100k operating point
+(tools/profile_block.py):
 
 1. **Deferred reductions.** A [B,1] row-reduction per chunk costs ~2.7
    elementwise-op equivalents on the VPU (cross-lane tree). v2 accumulates

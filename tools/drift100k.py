@@ -164,10 +164,34 @@ def main():
             f.write(json.dumps(d) + "\n")
         checkpoint.save(ck, jax.device_get(state), cfg, step)
         print(f"step {step} [{d['phase']}]: E={d['total_energy']:.6g} "
+              f"|p|={d['momentum_mag']:.3g} "
               f"vmax={d['vel_max']:.3f} nn={d['neighbors_avg']:.1f} "
               f"over={over}", flush=True)
     print("target reached", flush=True)
-    return 0
+    return ship_gate(jsonl)
+
+
+def ship_gate(jsonl: str, drift_budget: float = 1e-3,
+              mom_budget: float = 1e-3) -> int:
+    """Ship gate over the drift-phase rows: energy drift per 10k steps
+    AND momentum growth (VERDICT r3 weak #5 — |p| grew to 2.9e-2 over the
+    r3 validation with grav_com_correction off; the gate now fails that).
+    Returns a process exit code (0 = pass)."""
+    rows = [json.loads(ln) for ln in open(jsonl)]
+    drift = [r for r in rows if r.get("phase") == "drift"]
+    if len(drift) < 2:
+        print("ship gate: not enough drift rows", flush=True)
+        return 1
+    e0, e1 = drift[0]["total_energy"], drift[-1]["total_energy"]
+    span = drift[-1]["step"] - drift[0]["step"]
+    de = abs(e1 - e0) / abs(e0) * (10_000.0 / max(span, 1))
+    pmax = max(r["momentum_mag"] for r in drift)
+    over = sum(r["nbr_overflow"] + r["tree_overflow"] for r in drift)
+    ok = de <= drift_budget and pmax <= mom_budget and over == 0
+    print(f"SHIP GATE [{'PASS' if ok else 'FAIL'}]: |dE|/|E| = {de:.3g} "
+          f"per 10k steps (budget {drift_budget:g}), max |p| = {pmax:.3g} "
+          f"(budget {mom_budget:g}), overflow = {over}", flush=True)
+    return 0 if ok else 2
 
 
 if __name__ == "__main__":

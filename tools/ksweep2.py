@@ -229,7 +229,11 @@ VARIANTS = {
     # the preset capacities).
     "r3ship": dict(),
     # wider quad MAC: moves P2P pairs into the RESPA'd (amortized) ring/
-    # far tiers; quadrupole error ~theta^4 so theta 1.2 stays small
+    # far tiers. CAUTION (ADVICE r3): the Salmon-Warren bmax MAC only
+    # guarantees multipole convergence for theta < 1 — at theta >= 1 an
+    # accepted node can have r < bmax where the expansion DIVERGES, so a
+    # timing win here is not adoptable without a full drift validation
+    # (tools/drift100k.py --set theta=...), not just 64-step timing.
     "r3t12": dict(theta=1.2, p2p_window=160, m2p_window=160),
     "r3t14": dict(theta=1.4, p2p_window=144, m2p_window=192),
     # tighter post-refine truncation (settled refined max measured 64)
@@ -244,11 +248,14 @@ VARIANTS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ck", default="docs/results/drift100k/state.psph")
+    ap.add_argument("--ck",
+                    default="docs/results/drift100k_r3ship/state.psph")
     ap.add_argument("--var", action="append", default=[])
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--windows", default="192,320,192",
-                    help="base nbr,p2p,m2p windows")
+    ap.add_argument("--windows", default="240,192,128",
+                    help="base nbr,p2p,m2p windows (default = the "
+                         "jupiter_100k preset capacities, so 'r3ship' "
+                         "with no flags measures the actual ship point)")
     args = ap.parse_args()
     names = args.var or ["base", "sg8", "k16", "sg8k16"]
 
