@@ -354,9 +354,10 @@ class SimConfig:
     # near-field (SPH + P2P) KDK steps. 1 = off (every tier every step).
     # Gated to the cached grid+tree KDK pipeline with fixed dt;
     # respa_every must divide rebuild_every. The inner steps skip the
-    # moment reductions AND the ring/far entry gathers entirely.
-    # Single-chip runner only: the dp runner evaluates every tier at
-    # full rate (correct physics, without the multirate saving).
+    # moment reductions AND the ring/far entry gathers entirely. The dp
+    # runner mirrors the full multirate scheme (parallel/dp.
+    # run_chunk_cached): inner steps also skip the far-tier source
+    # moment traffic, so the saving survives sharding.
     respa_every: int = 1
 
     dp_mode: Literal["replicated", "halo"] = "replicated"

@@ -293,10 +293,12 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     shard, sources = all-gathered global set).
     `h_margin`: cutoffs additionally widened by (1+h_margin) on h — room for
     a bounded Newton h-solve between rebuilds.
-    `groups`: a frozen ``grouping.Groups`` to reuse instead of re-sorting
-    (cfg.sort_every amortization; single-set only). Every AABB/centroid/
-    window is still recomputed from the CURRENT positions, so the structure
-    stays exactly conservative — staleness only loosens block tightness.
+    `groups`: frozen grouping(s) to reuse instead of re-sorting
+    (cfg.sort_every amortization): a single ``grouping.Groups`` for
+    single-set builds, or a ``(target_groups, source_groups)`` pair under
+    dp (`src=`). Every AABB/centroid/window is still recomputed from the
+    CURRENT positions, so the structure stays exactly conservative —
+    staleness only loosens block tightness.
     `sph_only`: skip the gravity partition (MAC + tier sorts) — for
     throwaway structures that only feed density sweeps (the Newton
     h-solve), worth ~half the build cost.
@@ -309,9 +311,15 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
     do_grav = cfg.gravity_solver == "tree" and not sph_only
 
     if groups is not None:
-        if not single:
-            raise ValueError("frozen groups are a single-set optimization")
-        tgrp = sgrp = groups
+        if isinstance(groups, grouping.Groups):
+            if not single:
+                raise ValueError("dp builds need a (target, source) "
+                                 "groups pair")
+            tgrp = sgrp = groups
+        else:
+            if single:
+                raise ValueError("single-set builds take one Groups")
+            tgrp, sgrp = groups
     else:
         # shared Morton bounding box (targets are a subset of sources under
         # dp, but take the union to be safe)
@@ -903,8 +911,10 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
     if energy and cfg.grad_p_mode == "reference_asymmetric":
         raise ValueError("eos_mode='adiabatic' needs a momentum-conserving "
                          "pressure form (see ops/dense.pass2)")
-    if sorted_io and src is not None:
-        raise ValueError("sorted_io is a single-set (non-dp) optimization")
+    # sorted_io composes with src=: targets arrive (and outputs stay) in
+    # the target-sorted padded layout while sources are still gathered and
+    # sorted by the source grouping each call (the dp sorted-chunk path —
+    # parallel/dp.py keeps the LOCAL shard sorted between rebuilds).
 
     ctx = _prep_ctx(pos, h, mass, cfg, st, vel=vel if av or energy else None,
                     src=src, target_offset=target_offset,
@@ -1023,7 +1033,7 @@ def gravity(pos, h, mass, cfg: SimConfig, st: BlockStructure,
 
 
 def gravity_far(pos, h, mass, cfg: SimConfig, st: BlockStructure,
-                sorted_io=False):
+                sorted_io=False, src=None, target_offset=0):
     """Far-tier tree gravity only (ring sub-block monopoles + dense
     block/supergroup scan): (phi_far, grad_phi_far, n_approx).
 
@@ -1032,8 +1042,11 @@ def gravity_far(pos, h, mass, cfg: SimConfig, st: BlockStructure,
     GenerateMomentsSTJob parity property holds at the outer cadence),
     applied as half-period velocity impulses around the inner near-field
     steps. `sorted_io`: inputs/outputs stay in the padded sorted layout
-    (the cached runner's chunk format)."""
-    ctx = _prep_ctx(pos, h, mass, cfg, st, sorted_io=sorted_io)
+    (the cached runner's chunk format). `src`: dp mode — targets are the
+    local shard, `src` = (pos, h, mass) the all-gathered global set (the
+    moments then sum over the GLOBAL source blocks)."""
+    ctx = _prep_ctx(pos, h, mass, cfg, st, sorted_io=sorted_io, src=src,
+                    target_offset=target_offset)
     phi_t, grad_phi_t, _, na_t = _gravity_sweeps(ctx, cfg, st, tiers="far")
     if sorted_io:
         return phi_t, grad_phi_t, na_t
