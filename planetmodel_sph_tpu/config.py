@@ -229,6 +229,22 @@ class SimConfig:
     # sim units — far below the MAC force error). Off by default to keep
     # behavioral parity with the uncorrected tree.
     grav_com_correction: bool = False
+    # Fuse near-field gravity for the SPH-window sub-blocks into the
+    # pass-2 SPH sweep (grid + tree only). The refined SPH window's
+    # sub-blocks are overwhelmingly MAC-rejected near-field: their pair
+    # geometry (dx, r2, rsqrt — the expensive half of the P2P math) is
+    # already computed by pass 2 on already-gathered rows, so evaluating
+    # Dyer-Ip gravity there costs ~15 extra VPU ops/slot while REMOVING
+    # those sub-blocks from the windowed P2P/ring tiers entirely (their
+    # slots AND their share of the window row gather). The build
+    # guarantees each sub-block is covered exactly once: SPH-window
+    # sub-blocks are excluded from every gravity tier (blocks containing
+    # them are pushed out of the dense far scan into the sub-granular
+    # partition first). Requires sub-granular SPH windows
+    # (sph_exact_window=0) and no supergroup tier; self-pair corrections
+    # cancel globally (the tier sweep's +2.4Gm/h self term offsets the
+    # fused sweep's included Dyer-Ip self potential).
+    fuse_p2p_sph: bool = False
     # Pad per-entry gather table rows to this many floats (0 = off).
     # Tiny rows (<=16 B: ring/blk moment entries, single-column exact-list
     # extras) gather at a pathological ~30-150 M rows/s on this TPU while

@@ -124,6 +124,68 @@ def test_halo_violations_loud_on_single_ball():
     assert int(info["halo_violations"]) > 0
 
 
+@pytest.mark.slow
+def test_halo_cached_full_stack_matches_replicated(setup):
+    """The Verlet-cached production stack on the HALO layout (sorted
+    chunks + Newton h + h tracking + refine/truncation + RESPA + sort
+    reuse) must track the replicated dp runner on the chain geometry
+    (VERDICT r3 weak #4: halo used to be per-step only)."""
+    cfg, mesh, sharded = setup
+    kw = dict(rebuild_every=4, sort_every=8, respa_every=2,
+              grad_p_mode="grad_h", h_mode="newton", h_track_margin=0.04,
+              sph_refine_subblock=True, sph_refined_window=96,
+              multipole_order=2)
+    cfg_h = cfg.replace(**kw)
+    cfg_rep = cfg_h.replace(dp_mode="replicated")
+    ref, ref_info = dp.make_run_info(cfg_rep, mesh)(sharded, 8)
+    out, info = halo.make_run(cfg_h, mesh)(sharded, 8)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=5e-3)
+    assert int(info["nbr_overflow"]) == 0 == int(info["tree_overflow"])
+    assert int(info["halo_violations"]) == 0
+    assert int(ref_info["nbr_overflow"]) == 0
+
+
+def test_halo_cached_violations_fire_ahead_of_chunk():
+    """The cached runner's pre-chunk conservative check must flag the
+    single-ball geometry (octants meet at the core) just as loudly as
+    the per-step path does."""
+    cfg = _cfg(n=1024, radius=30.0, nbr_group_level=3, nbr_window=256,
+               p2p_window=320, m2p_window=320, rebuild_every=2)
+    mesh = mesh_mod.make_mesh(8)
+    st = planet.prime(ics.jupiter(cfg), cfg.replace(rebuild_every=1))
+    sharded = halo.morton_shard_state(st, mesh)
+    _, info = halo.make_run(cfg, mesh)(sharded, 2)
+    assert int(info["halo_violations"]) > 0
+
+
+@pytest.mark.slow
+def test_halo_auto_reshard_recovers_from_degraded_sharding(setup):
+    """run_resharded: a deliberately scrambled sharding (particles
+    scattered across bricks) must be detected via halo_violations,
+    re-sorted along the Morton curve, and the flagged segment re-run —
+    after which the chain geometry runs violation-free."""
+    cfg, mesh, _ = setup
+    cfg = cfg.replace(rebuild_every=2)
+    st = planet.prime(_chain_state(cfg), cfg.replace(rebuild_every=1))
+    # scramble: a random permutation scatters every brick across every
+    # shard (plain reversal would stay Morton-contiguous)
+    perm = jax.random.permutation(jax.random.PRNGKey(7), cfg.n)
+    bad = jax.tree.map(
+        lambda x: x[perm] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == cfg.n else x, st)
+    bad = jax.device_put(bad, mesh_mod.particle_sharding(mesh))
+    msgs = []
+    out, info, reshards = halo.run_resharded(bad, cfg, mesh, 8, span=4,
+                                             log=msgs.append)
+    assert reshards == 1, msgs
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    # accepted segments ran on the repaired sharding: violation-free
+    assert info["halo_violations"] == 0, (info, msgs)
+
+
 def test_halo_bytes_win():
     cfg = _cfg()
     b = halo.bytes_per_step(cfg, n=8192, n_dev=8)

@@ -243,6 +243,29 @@ VARIANTS = {
     "r3r16": dict(respa_every=16),
     "r3t12w80r16": dict(theta=1.2, p2p_window=160, m2p_window=160,
                         sph_refined_window=80, respa_every=16),
+    # round-4 levers (VERDICT r3 next-round #1), all on the shipped
+    # stack (preset defaults incl. grav_com_correction):
+    # (a') finer SOURCE sub-blocks: tighter sub-AABBs move P2P pairs
+    # into the sub-MAC ring tier, which RESPA amortizes 8-fold — the
+    # round-3 'sub=32 beats sub=16' verdict predates RESPA, when the
+    # ring paid full rate every step. Windows in sub-16 units.
+    "r4s16": dict(nbr_sub=16, nbr_window=480, sph_refined_window=192,
+                  p2p_window=384, m2p_window=256),
+    # (c) tile-height halving: [B,CHUNK] masked-slot waste shrinks for
+    # ~52-neighbor rows, and the tighter target AABB sharpens the MAC
+    "r4b32": dict(nbr_group_size=32, nbr_sub=16, nbr_window=288,
+                  sph_refined_window=112, p2p_window=320, m2p_window=192),
+    "r4b32s32": dict(nbr_group_size=32, nbr_sub=32, nbr_window=144,
+                     sph_refined_window=64, p2p_window=160, m2p_window=96),
+    # (b) particle-exact SPH lists re-measured WITH padded gather rows
+    # (the 'net slower' verdict predates the tiny-row-gather fix) on top
+    # of the full r3 stack; capacity above the measured ~770 candidate max
+    "r4x896": dict(sph_exact_window=896),
+    "r4x1024": dict(sph_exact_window=1024),
+    # longer far-field period at the ship point (r3 finisher, unmeasured)
+    "r4r16": dict(respa_every=16),
+    "r4w80": dict(sph_refined_window=80),
+    "r4w80r16": dict(sph_refined_window=80, respa_every=16),
 }
 
 
