@@ -405,7 +405,8 @@ def _gw_from(q, inv_h, inv_h4, inv_r, sign_bug):
 
 
 def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
-                  sign_bug, av_alpha, av_beta, gb, b):
+                  sign_bug, av_alpha, av_beta, gb, b, grav,
+                  receiver_soft, g_const):
     it = iter(args)
     tx, ty, tz, tih = (next(it) for _ in range(4))
     tc = next(it) if mode != "reference_asymmetric" else None
@@ -423,6 +424,7 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
         avx_ref, avy_ref, avz_ref = (next(it) for _ in range(3))
     dc_refs = [next(it) for _ in range(4)] if balsara else []
     du_ref = next(it) if energy else None
+    g_refs = [next(it) for _ in range(5)] if grav else []
     acc = list(it)      # [] when single-trip; n_out scratch otherwise
     rows = [sx, sy, sz, sih, sm, scc] + s_av
 
@@ -503,6 +505,26 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
                 if av:
                     du = du + 0.5 * cav * vdotr
                 out += [du]
+            if grav:
+                # fused Dyer-Ip near-field gravity on the same pair
+                # geometry (SimConfig.fuse_p2p_sph): dx/r2/inv_r are
+                # shared with the SPH math above — the marginal cost is
+                # the polynomial evaluation only (cf. _p2p_kernel, which
+                # pays the full geometry again per slot)
+                inv_a = tihv if receiver_soft else jnp.minimum(tihv, cih)
+                x = (r2 * inv_r) * inv_a
+                x2 = x * x
+                x3 = x2 * x
+                inv_a3 = inv_a * inv_a * inv_a
+                inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x + 2.0 * x3)
+                inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2 + 3.0 * x3
+                                                - 0.4 * x2 * x3)
+                mr = m_eff * inv_r
+                near_g = x < 1.0
+                mag = jnp.where(near_g, inner_mag, mr * inv_r * inv_r)
+                out += [jnp.where(near_g, inner_phi, -mr),
+                        dxx * mag, dxy * mag, dxz * mag,
+                        jnp.where(m_eff > 0.0, 1.0, 0.0)]
             return out
 
         if acc:
@@ -526,16 +548,27 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
             avx_ref[sl, :] = sums[3]
             avy_ref[sl, :] = sums[4]
             avz_ref[sl, :] = sums[5]
-        for ref, val in zip(dc_refs, sums[6:10]):
+        base = 6 if av else 3
+        for ref, val in zip(dc_refs, sums[base:base + 4]):
             ref[sl, :] = val
+        if balsara:
+            base += 4
         if energy:
-            du_ref[sl, :] = sums[-1]
+            du_ref[sl, :] = sums[base]
+            base += 1
+        if grav:
+            g_refs[0][sl, :] = g_const * sums[base]
+            g_refs[1][sl, :] = g_const * sums[base + 1]
+            g_refs[2][sl, :] = g_const * sums[base + 2]
+            g_refs[3][sl, :] = g_const * sums[base + 3]
+            g_refs[4][sl, :] = sums[base + 4].astype(jnp.int32)
 
     _groups(nv_ref, gb, b, per_group)
 
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
-          av_beta=0.0, gb=1, energy=False, balsara=False):
+          av_beta=0.0, gb=1, energy=False, balsara=False, grav=False,
+          receiver_soft=False, g_const=1.0):
     """Pressure-gradient sweep with precomputed per-particle coefficients.
 
     tgt cols: x,y,z,ih, then tc (absent for reference_asymmetric), then AV
@@ -551,15 +584,24 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
     on each side limits Pi_ij by 0.5(f_i+f_j) — see ops/dense.pass2),
     plus the FULLY-SCALED specific-internal-energy rate du when
     energy=True (cfg.eos_mode='adiabatic'; no caller scale — the pairwise
-    forms in ops/dense.pass2's docstring are complete as accumulated).
+    forms in ops/dense.pass2's docstring are complete as accumulated),
+    plus (phi, gx, gy, gz, n_direct) when grav=True — fused Dyer-Ip
+    near-field gravity over the SAME rows (SimConfig.fuse_p2p_sph; same
+    conventions as :func:`p2p`: phi includes the self term, n_direct the
+    self pair).
     """
     single = src[0].shape[1] == chunk
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
                              energy=energy, balsara=balsara,
-                             sign_bug=sign_bug,
+                             sign_bug=sign_bug, grav=grav,
+                             receiver_soft=receiver_soft, g_const=g_const,
                              av_alpha=av_alpha, av_beta=av_beta, gb=gb, b=b)
     n_out = (6 if av else 3) + (4 if balsara else 0) + (1 if energy else 0)
-    return _call(kern, out_dtypes=[jnp.float32] * n_out, smem=[nv],
+    dts = [jnp.float32] * n_out
+    if grav:
+        n_out += 5
+        dts += [jnp.float32] * 4 + [jnp.int32]
+    return _call(kern, out_dtypes=dts, smem=[nv],
                  tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
                  n_acc=0 if single else n_out, gb=gb)
 

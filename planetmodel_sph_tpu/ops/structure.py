@@ -86,6 +86,25 @@ def _nbpad(nb: int, chunk: int) -> int:
     return -(-nb // chunk) * chunk
 
 
+def fuse_active(cfg: SimConfig) -> bool:
+    """Whether the pass-2 P2P fusion (cfg.fuse_p2p_sph) is in effect.
+
+    The fusion rides the sub-granular SPH window rows of the grid
+    pipeline's pass-2 sweep, so it is undefined for dense-SPH configs,
+    particle-exact SPH lists, and the supergroup far tier (whose
+    block-monopole bookkeeping cannot exclude individual sub-blocks)."""
+    if not cfg.fuse_p2p_sph:
+        return False
+    if (cfg.neighbor_mode != "grid" or cfg.sph_exact_window > 0
+            or cfg.sg_blocks > 1):
+        raise ValueError(
+            "fuse_p2p_sph needs the grid pipeline with sub-granular SPH "
+            "windows and no supergroup tier (got neighbor_mode=%r "
+            "sph_exact_window=%r sg_blocks=%r)" % (
+                cfg.neighbor_mode, cfg.sph_exact_window, cfg.sg_blocks))
+    return True
+
+
 def packed_permute(arrays, idx, pad_to=0):
     """Gather/permute a list of [N] / [N, k] arrays by `idx` (any integer
     shape) via ONE packed row gather.
@@ -460,10 +479,28 @@ def build(pos, h, mass, cfg: SimConfig, skin=0.0,
             nsgp = _nbpad(nsg, chunk)
             accept_sg = jnp.pad(mac_sg.astype(jnp.float32),
                                 ((0, 0), (0, nsgp - nsg)))
+        fused = fuse_active(cfg)
+        if fused:
+            # pass-2 P2P fusion (cfg.fuse_p2p_sph): SPH-window sub-blocks
+            # get their near-field gravity inside the pass-2 sweep, so
+            # they are excluded from EVERY windowed/dense tier here.
+            # Blocks containing any leave the dense far scan first, so
+            # their remaining sub-blocks re-partition at sub granularity
+            # (each sub-block is covered exactly once).
+            gcol = jnp.arange(g, dtype=jnp.int32)[:, None]
+            hits = jnp.zeros((g, nsub), jnp.int32).at[
+                gcol, jnp.clip(sph_idx, 0, nsub - 1)].max(
+                (sph_idx >= 0).astype(jnp.int32))
+            in_sph = hits > 0
+            covered = covered & ~jnp.any(in_sph.reshape(g, nb, spb),
+                                         axis=2)
         blk_exp = jnp.repeat(covered, spb, axis=1)
         rest = (~blk_exp) & tvalid[:, None] & svalid[None, :]
         ring = rest & mac_sub          # sub-block monopole tier
         near = rest & (~mac_sub)       # P2P tier
+        if fused:
+            ring = ring & ~in_sph
+            near = near & ~in_sph
         # ONE sort compacts both tiers: near keys sort first (their sub
         # id), ring keys next (id + NSUB), everything else last. The ring
         # window is then a per-row slice starting at n_near.
@@ -975,11 +1012,14 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         tgt2 += _cols(t["vx"], t["vy"], t["vz"])
         s_extra += [s["vx"], s["vy"], s["vz"]]
     extra_rows = _sph_rows(s_extra, st, cfg, ctx.nb)
+    fused = do_grav and grav_tiers != "far" and fuse_active(cfg)
     outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av, energy=energy, balsara=balsara,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
-        av_beta=cfg.av_beta, gb=cfg.kernel_gb)
+        av_beta=cfg.av_beta, gb=cfg.kernel_gb, grav=fused,
+        receiver_soft=cfg.softening_mode == "receiver_h",
+        g_const=cfg.g_const)
     grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
     if p_scale is not None:
         grad_p_t = grad_p_t * p_scale[:, None]
@@ -992,12 +1032,23 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         from . import dense as dense_ops
         dc_t = jnp.concatenate(outs[6:10], axis=-1)          # [Gt*B, 4]
         fb_next_t = dense_ops.balsara_factor(dc_t, cs_t, rho_t, t["h"])
-    du_t = outs[-1][:, 0] if energy else jnp.zeros_like(rho_t)
+    n_base = (3 + (3 if av else 0) + (4 if balsara else 0)
+              + (1 if energy else 0))
+    du_t = outs[n_base - 1][:, 0] if energy else jnp.zeros_like(rho_t)
 
     # ---- gravity ----
     if do_grav:
         phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st,
                                                         tiers=grav_tiers)
+        if fused:
+            # fused near-field part from the pass-2 sweep: the tier
+            # sweep's +2.4 G m/h self correction exactly offsets the
+            # Dyer-Ip self potential included here, and its nd - 1
+            # offsets the included self pair — no further correction
+            phi_t = phi_t + outs[n_base][:, 0]
+            grad_phi_t = grad_phi_t + jnp.concatenate(
+                outs[n_base + 1:n_base + 4], axis=-1)
+            nd_t = nd_t + outs[n_base + 4][:, 0]
     else:
         phi_t = jnp.zeros_like(rho_t)
         grad_phi_t = jnp.zeros_like(grad_p_t)

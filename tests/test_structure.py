@@ -442,3 +442,109 @@ def test_dead_groups_no_nan_in_sorted_io(xw):
     out, info = planet.run_info(state, cfg, 8)
     assert not bool(jnp.any(jnp.isnan(out.vel)))
     assert float(jnp.max(out.rho)) > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# pass-2 P2P fusion (cfg.fuse_p2p_sph)
+# ---------------------------------------------------------------------------
+
+def test_fused_p2p_partition_counts_every_subblock_once():
+    """With the fusion on, the partition gains a fourth tier — the SPH
+    window rows (evaluated exactly inside pass 2) — and the four tiers
+    must stay disjoint and jointly cover every live sub-block."""
+    cfg = _cfg(theta=0.7, fuse_p2p_sph=True)
+    pos, h, mass = _cloud(cfg.n, seed=5)
+    st = structure.build(pos, h, mass, cfg)
+    g = st.groups.live.shape[0]
+    spb = cfg.nbr_group_size // cfg.nbr_sub
+    live_sub = np.asarray(jnp.any(
+        st.groups.live.reshape(g * spb, cfg.nbr_sub), axis=1))
+    live_subs = set(np.nonzero(live_sub)[0].tolist())
+    accept = np.asarray(st.accept[:, :g]) > 0.5
+    tvalid = np.asarray(jnp.any(st.groups.live, axis=1))
+    for gi in range(g):
+        if not tvalid[gi]:
+            continue
+        acc_blocks = np.nonzero(accept[gi])[0]
+        acc = set(int(b * spb + s1) for b in acc_blocks
+                  for s1 in range(spb) if live_sub[b * spb + s1])
+        ids_p = np.asarray(st.p2p_idx[gi])
+        near = set(int(i) for i in ids_p[ids_p >= 0])
+        ids_r = np.asarray(st.m2p_idx[gi])
+        ring = set(int(i) for i in ids_r[ids_r >= 0])
+        ids_s = np.asarray(st.sph_idx[gi])
+        sph = set(int(i) for i in ids_s[ids_s >= 0])
+        for a, b2 in ((acc, near), (acc, ring), (acc, sph), (near, ring),
+                      (near, sph), (ring, sph)):
+            assert a.isdisjoint(b2)
+        assert acc | near | ring | sph == live_subs
+
+
+@pytest.mark.parametrize("soft", ["receiver_h", "symmetric_max"])
+def test_fused_p2p_exact_when_theta_zero(soft):
+    """theta -> 0: everything is near-field, split between the fused
+    pass-2 rows and the remainder P2P window — the union must equal the
+    direct dense oracle exactly (same per-pair math, both softenings)."""
+    cfg = _cfg(theta=1e-6, p2p_window=256, softening_mode=soft,
+               fuse_p2p_sph=True, grad_p_mode="grad_h")
+    pos, h, mass = _cloud(cfg.n, seed=1)
+    st = structure.build(pos, h, mass, cfg)
+    assert int(st.p2p_overflow) == 0
+    bf = structure.forces(pos, h, mass, cfg, st)
+    dcfg = _dense_cfg(cfg, grad_p_mode="symmetric")
+    p1 = dense.pass1(pos, h, mass, dcfg)
+    np.testing.assert_allclose(bf.phi, p1.phi, rtol=3e-5, atol=1e-7)
+    np.testing.assert_allclose(bf.grad_phi, p1.grad_phi, rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_array_equal(bf.n_direct, p1.n_direct)
+    assert int(jnp.sum(bf.n_approx)) == 0
+
+
+def test_fused_p2p_tree_no_worse_than_unfused():
+    """At theta=0.7 the fusion promotes some monopole-approximated
+    sub-blocks to exact evaluation — the far-field error vs the direct
+    oracle must not grow."""
+    base = _cfg(n=4096, theta=0.7, softening_mode="receiver_h",
+                nbr_group_level=3, nbr_window=512, p2p_window=512,
+                m2p_window=512)
+    pos, h, mass = _cloud(base.n, seed=2, radius=30.0)
+    p1 = dense.pass1(pos, h, mass, _dense_cfg(base))
+    scale = float(jnp.max(jnp.abs(p1.grad_phi)))
+    errs = {}
+    for tag, cfg in (("plain", base),
+                     ("fused", base.replace(fuse_p2p_sph=True))):
+        st = structure.build(pos, h, mass, cfg)
+        bf = structure.forces(pos, h, mass, cfg, st)
+        errs[tag] = float(jnp.max(jnp.abs(bf.grad_phi - p1.grad_phi))
+                          / scale)
+    assert errs["fused"] <= errs["plain"] * 1.05 + 1e-7, errs
+
+
+def test_fused_p2p_with_refine_truncation_cached_run():
+    """The fusion composes with the production stack (refine +
+    truncation + cached sorted chunks + RESPA): finite trajectory,
+    tracking the unfused run to MAC accuracy."""
+    from planetmodel_sph_tpu.models import ics, planet
+    cfg = config.SimConfig(
+        n=1024, radius=30.0, particle_radius=3.0, neighbor_mode="grid",
+        gravity_solver="tree", grad_p_mode="grad_h", h_mode="newton",
+        h_track_margin=0.04, sph_refine_subblock=True,
+        sph_refined_window=64, rebuild_every=4, respa_every=2,
+        multipole_order=2, nbr_group_size=32, nbr_sub=16,
+        nbr_group_level=2, nbr_window=128, p2p_window=128, m2p_window=128)
+    st0 = planet.prime(ics.jupiter(cfg), cfg.replace(rebuild_every=1,
+                                                     respa_every=1))
+    ref, info_ref = planet.run_info(st0, cfg, 8)
+    out, info = planet.run_info(st0, cfg.replace(fuse_p2p_sph=True), 8)
+    assert int(info["nbr_overflow"]) == 0 == int(info["tree_overflow"])
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=2e-3)
+
+
+def test_fused_p2p_guards():
+    cfg = _cfg(fuse_p2p_sph=True, sph_exact_window=512)
+    pos, h, mass = _cloud(cfg.n)
+    with pytest.raises(ValueError):
+        structure.build(pos, h, mass, cfg)
