@@ -158,6 +158,7 @@ def cmd_run(args) -> int:
                 viewer.update(state, row, color_by=args.render_color_by,
                               quiver=args.render_quiver,
                               extent=args.render_extent)
+                cfg = _viewer_control(viewer, cfg)
         if args.animate:
             out = render.assemble_gif(args.render_every_dir, args.animate,
                                       fps=args.animate_fps)
@@ -218,6 +219,30 @@ def cmd_run(args) -> int:
     drift = diagnostics.energy_drift(diags)
     _log(f"energy drift: {float(drift[-1]):.3e}")
     return 0
+
+
+def _viewer_control(viewer, cfg):
+    """Apply the live viewer's steering between chunks: hold while
+    paused (frames keep serving), fold whitelisted knob overrides into
+    the config (the next chunk recompiles once). The editor-Play-mode
+    steering loop the reference gets from Unity for free."""
+
+    def fold(c):
+        paused, overrides, dirty = viewer.control()
+        if dirty and overrides:
+            c = c.replace(**overrides)
+            _log(f"live knobs applied: {overrides} "
+                 f"(next chunk recompiles)")
+        return c, paused
+
+    cfg, paused = fold(cfg)
+    if paused:
+        _log("paused from the live viewer")
+        while paused:
+            time.sleep(0.25)
+            cfg, paused = fold(cfg)
+        _log("resumed")
+    return cfg
 
 
 def _run_dp(args, cfg, state, start_step) -> int:

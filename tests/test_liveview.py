@@ -45,3 +45,61 @@ def test_liveview_serves_frame_and_diag():
         assert b"points.bin" in body and b"getContext" in body
     finally:
         v.close()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, r.read()
+
+
+def test_liveview_steering_and_inspect():
+    """Runtime steering (VERDICT r3 missing #1): pause/resume, live
+    knobs through the whitelist, and per-particle click inspection."""
+    cfg = psph.default(n=128, radius=10.0, particle_radius=4.0,
+                       gravity_solver="direct", neighbor_mode="dense",
+                       block_n=128, adaptive_h=False)
+    state = planet.prime(ics.jupiter(cfg), cfg)
+    v = LiveViewer(0)
+    try:
+        v.update(state, {"step": 1})
+        # pause -> visible in /diag.json and in control()
+        assert _post(v.port, "/control", {"cmd": "pause"})[0] == 200
+        assert json.loads(_get(v.port, "/diag.json")[1])["paused"] is True
+        paused, overrides, dirty = v.control()
+        assert paused and not dirty
+        _post(v.port, "/control", {"cmd": "resume"})
+        assert v.control()[0] is False
+        # knobs: whitelisted keys fold into overrides, others are 400
+        _post(v.port, "/control",
+              {"cmd": "set", "overrides": {"vel_damping": 0.25,
+                                           "av_alpha": 1.0,
+                                           "av_beta": 2.0}})
+        paused, overrides, dirty = v.control()
+        assert dirty and overrides == {"vel_damping": 0.25,
+                                       "av_alpha": 1.0, "av_beta": 2.0}
+        assert cfg.replace(**overrides).vel_damping == 0.25
+        assert v.control()[2] is False          # dirty flag cleared
+        import urllib.error
+        try:
+            _post(v.port, "/control",
+                  {"cmd": "set", "overrides": {"dt": 99.0}})
+            assert False, "non-whitelisted knob must be rejected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # click-to-inspect: per-particle fields by index
+        code, body = _get(v.port, "/inspect.json?i=5")
+        info = json.loads(body)
+        assert code == 200 and info["index"] == 5
+        assert len(info["pos"]) == 3 and info["rho"] > 0.0
+        assert "n_neighbors" in info
+        assert "error" in json.loads(_get(v.port,
+                                          "/inspect.json?i=999")[1])
+        # the steering UI is wired into the page
+        body = _get(v.port, "/")[1]
+        assert b"/control" in body and b"inspect.json" in body
+    finally:
+        v.close()
