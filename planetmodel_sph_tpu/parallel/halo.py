@@ -372,7 +372,7 @@ def make_run_diag(cfg: SimConfig, mesh: Mesh, axis: str = DP_AXIS):
 
 def run_resharded(state, cfg: SimConfig, mesh: Mesh, n_steps: int,
                   span: int = 0, axis: str = DP_AXIS,
-                  log=None):
+                  log=None, on_segment=None):
     """Host-level driver with AUTOMATIC re-sharding — the halo layout's
     survivability loop (VERDICT r3 weak #4: the module used to delegate
     re-sharding to a human watching halo_violations climb).
@@ -388,6 +388,10 @@ def run_resharded(state, cfg: SimConfig, mesh: Mesh, n_steps: int,
     genuinely exceeds the ring radius, e.g. interleaved clusters), the
     segment is accepted with the violations counted loudly rather than
     looping — raise ``halo_ring_radius`` in that case.
+
+    ``on_segment(state, done, info)`` fires after every ACCEPTED segment
+    (long-run metrics hooks; the jitted runner is built once per call,
+    so external per-segment loops would recompile it every segment).
 
     Returns (state, summed info dict, n_reshards).
     """
@@ -419,6 +423,8 @@ def run_resharded(state, cfg: SimConfig, mesh: Mesh, n_steps: int,
         for k2 in total:
             total[k2] += int(info[k2])
         done += k
+        if on_segment is not None:
+            on_segment(state, done, info)
     return state, total, reshards
 
 

@@ -16,6 +16,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# share bench.py's persistent XLA compilation cache: sweep compiles are
+# minutes each on the relay-backed chip and identical across re-runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import jax
 import jax.numpy as jnp
 
@@ -266,6 +273,23 @@ VARIANTS = {
     "r4r16": dict(respa_every=16),
     "r4w80": dict(sph_refined_window=80),
     "r4w80r16": dict(sph_refined_window=80, respa_every=16),
+    # (a) pass-2 P2P fusion (VERDICT r3 next-round #1a): the SPH-window
+    # sub-blocks get their near gravity inside the pass-2 sweep over the
+    # ALREADY-gathered geometry rows, leaving the p2p tier only the
+    # non-SPH near sub-blocks — so its window capacity (gathers are
+    # capacity-shaped) can shrink to the measured residual maxima.
+    "r4fuse": dict(fuse_p2p_sph=True),
+    "r4fusep96": dict(fuse_p2p_sph=True, p2p_window=96),
+    "r4fusep64": dict(fuse_p2p_sph=True, p2p_window=64),
+    # measured (first r4 sweep): fusion drops the residual p2p max
+    # 168 -> 108, so 112 is the exact clean capacity; p96 overflowed and
+    # the auto-widen retry (120) cost ~1.7 steps/s of gather width
+    "r4fusep112": dict(fuse_p2p_sph=True, p2p_window=112),
+    "r4fusew80": dict(fuse_p2p_sph=True, sph_refined_window=80,
+                      p2p_window=112),
+    "r4fuser16": dict(fuse_p2p_sph=True, p2p_window=112, respa_every=16),
+    "r4fusew80r16": dict(fuse_p2p_sph=True, sph_refined_window=80,
+                         p2p_window=112, respa_every=16),
 }
 
 
