@@ -565,12 +565,19 @@ def jupiter_100k(**kw) -> SimConfig:
         #                   10-field far scan is ~free under RESPA while
         #                   the ~2x smaller P2P tier pays every step) +
         #                   capacity-tightened gravity windows
+        #   45.3          + round-4 finishers (ksweep2 r4fuse ladder):
+        #                   pass-2 P2P fusion with the residual p2p tier
+        #                   at its measured capacity (fuse_p2p_sph;
+        #                   max 168 -> 108 non-SPH sub-blocks), refined
+        #                   SPH window 96 -> 80 (settled max 65), far
+        #                   field every 16 steps
         #
         # The round-2 'quad pumps energy' diagnosis was frozen-h in
         # disguise: with tracked h BOTH far fields are drift-flat
         # (mono 3.3e-5, quad 2.2e-5 per 10k steps — drift100k_v2/ and
         # drift100k_q10t/), and the full stack is re-validated at this
-        # exact preset (drift100k_r3ship/).
+        # exact preset (drift100k_r3ship/ for the r3 point,
+        # drift100k_r4ship/ for this one).
         multipole_order=2,
         theta=1.0,
         # Ship-point momentum conservation (VERDICT r3 weak #5): the MAC's
@@ -586,15 +593,17 @@ def jupiter_100k(**kw) -> SimConfig:
         gather_pad_rows=32,
         h_track_margin=0.04,
         sph_refine_subblock=True,
-        sph_refined_window=96,
-        respa_every=8,
+        sph_refined_window=80,
+        respa_every=16,
+        fuse_p2p_sph=True,
         # window capacities in SUB-block units; sized from measured
         # settled-state maxima with K=32 skins (ksweep2 r3q10sbrk32r8w:
-        # sph pre-refine 187 / post-refine 64, p2p 161, m2p 92) +
+        # sph pre-refine 187 / post-refine 64, m2p 92; under fusion the
+        # p2p tier keeps only non-SPH near sub-blocks, max 108) +
         # headroom. Per-step gathers are capacity-shaped, so capacities
         # hug the maxima; overflow is counted loudly, never silent.
         nbr_window=240,
-        p2p_window=192,
+        p2p_window=112,
         m2p_window=128,
         # same mean interparticle spacing as the 3k scene is NOT preserved;
         # scale the IC sphere so the neighbor count target stays reachable.

@@ -49,17 +49,22 @@ def test_jupiter_100k_overflow_safe_knobs():
     cfg = psph.jupiter_100k()
     # capacities cover the measured settled-state window maxima with the
     # preset's K=32 skin (tools/ksweep2 'r3q10sbrk32r8w': sph pre-refine
-    # max 187 / post-refine max 64, p2p max 161, ring max 92 sub-blocks)
+    # max 187 / post-refine max 64, ring max 92 sub-blocks; with pass-2
+    # P2P fusion the p2p tier keeps only NON-SPH near sub-blocks, max
+    # 108 — the r4fuse ladder rows)
     assert cfg.nbr_window >= 187
     assert cfg.sph_refined_window >= 64 + 16
-    assert cfg.p2p_window >= 161
+    assert cfg.fuse_p2p_sph and cfg.p2p_window >= 108
     assert cfg.m2p_window >= 92
     # The drift-validated operating point: long Verlet chunks are stable
     # ONLY with per-step h tracking (frozen h pumps energy — the r2
     # 'q10 pumps' diagnosis was frozen-h in disguise; both far fields
     # are drift-flat with tracking, docs/results/drift100k_v2 + _q10t).
     # Do NOT change these knobs without a full 12k-step drift run
-    # (tools/drift100k.py) proving the new point stable.
+    # (tools/drift100k.py) proving the new point stable — the r4 point
+    # (fusion + refined window 80 + respa 16) is proved in
+    # docs/results/drift100k_r4ship (2.03e-5/10k, |p| 7.2e-5, zero
+    # overflow).
     assert cfg.h_track_margin > 0.0
-    assert cfg.rebuild_every == 32 and cfg.respa_every == 8
+    assert cfg.rebuild_every == 32 and cfg.respa_every == 16
     assert cfg.multipole_order == 2 and cfg.theta == 1.0

@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""32k two-cluster collision on the 8-device virtual mesh, halo layout.
+
+VERDICT r3 next-round #3 done-criterion: "a 32k+ two-cluster collision on
+the 8-CPU mesh runs 2k steps with violations handled automatically and
+matches replicated dp". A two-planet collision migrates particles across
+Morton bricks BY CONSTRUCTION (the approach compresses the two bricks
+into one), so it exercises exactly the failure mode the automatic
+re-sharding loop (halo.run_resharded) exists for.
+
+Protocol:
+0. SETTLE one n/2 polytrope ball (damped, mild AV, conservative
+   cadence — the production stack straight from a raw IC blows up
+   Verlet skins and RESPA impulses; drift100k.py learned the same
+   lesson, and the first cut of this driver re-learned it as NaNs).
+   The two bodies are copies of the settled ball.
+1. 64-step replicated-vs-halo cross-check from the primed two-body
+   state (pre-collision, ring-coherent; fields must agree to MAC
+   accuracy) — the "matches replicated dp" leg.
+2. 2000 steps through approach + impact under halo.run_resharded with
+   per-segment conservation rows appended to a JSONL — the
+   "violations handled automatically" leg. Re-shards and accepted
+   violations are counted loudly in the artifact.
+
+Runs on the forced-CPU 8-device mesh (same recipe as
+__graft_entry__.dryrun_multichip); nothing here touches the TPU, so it
+can run alongside chip-bound measurement campaigns.
+
+  python tools/halo_collision.py --out docs/results/halo32k
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import numpy as np
+
+import planetmodel_sph_tpu as psph
+from planetmodel_sph_tpu.models import ics, planet
+from planetmodel_sph_tpu.parallel import dp, halo, mesh as mesh_mod
+from planetmodel_sph_tpu.utils import diagnostics
+
+
+def build_cfg(n):
+    # production formulation (jupiter_100k's stack) at 32k scale on the
+    # halo layout; ring radius 2 keeps the ring local through approach
+    # (post-merger the 8 octants of one ball exceed ANY 1-D ring — the
+    # driver counts those violations loudly instead of hiding them).
+    # radius ~ n^(1/3) keeps spacing/h/window occupancy n-invariant, so
+    # a small-n smoke validates the 32k window sizing.
+    return psph.default(
+        n=n, radius=16.0 * (n / 32768) ** (1.0 / 3.0),
+        particle_radius=3.2, block_n=128,
+        neighbor_mode="grid", gravity_solver="tree",
+        nbr_group_size=64, nbr_group_level=4,
+        grad_p_mode="grad_h", h_mode="newton", h_track_margin=0.04,
+        sph_refine_subblock=True, sph_refined_window=64,
+        rebuild_every=8, sort_every=32, respa_every=4,
+        multipole_order=2, theta=1.0, grav_com_correction=True,
+        # dp/halo per-shard target groupings pad differently than the
+        # single-chip grouping (bisect: 840 dropped entries at nbr=192
+        # where single-chip dropped none) — sized with that headroom
+        nbr_window=256, p2p_window=288, m2p_window=288,
+        av_alpha=1.0, av_beta=2.0,
+        dp_mode="halo", halo_ring_radius=2, halo_chunk=64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32768)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--segment", type=int, default=100)
+    ap.add_argument("--out", default="docs/results/halo32k")
+    ap.add_argument("--separation", type=float, default=60.0)
+    ap.add_argument("--approach-speed", type=float, default=0.6)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    jsonl = os.path.join(args.out, "metrics.jsonl")
+    open(jsonl, "w").close()
+
+    cfg = build_cfg(args.n)
+    mesh = mesh_mod.make_mesh(8)
+
+    # ---- leg 0: settle one n/2 polytrope ball, then collide copies ----
+    nb = args.n // 2
+    bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
+    scfg = bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
+                        respa_every=1, rebuild_every=4,
+                        nbr_window=bcfg.nbr_window * 2,
+                        p2p_window=bcfg.p2p_window * 2,
+                        m2p_window=bcfg.m2p_window * 2)
+    ball = planet.prime(ics.polytrope(scfg), scfg)
+    ball, sinfo = jax.block_until_ready(jax.jit(
+        lambda s: planet.run_info(s, scfg, 400))(ball))
+    print(f"leg0 settled ball: over=({int(sinfo['nbr_overflow'])},"
+          f"{int(sinfo['tree_overflow'])})", flush=True)
+
+    dx = np.array([args.separation / 2, 4.0, 0.0], np.float32)
+    dv = np.array([args.approach_speed / 2, 0.0, 0.0], np.float32)
+    a = ball.replace(pos=ball.pos - dx, vel=ball.vel + dv)
+    b = ball.replace(pos=ball.pos + dx, vel=ball.vel - dv)
+    st = jax.tree.map(lambda x, y: jax.numpy.concatenate([x, y], axis=0),
+                      a, b)
+    st = planet.prime(st, cfg)
+
+    # ---- leg 1: halo matches replicated dp over a 64-step span ----
+    rep_cfg = cfg.replace(dp_mode="replicated")
+    rep = mesh_mod.shard_state(st, mesh)
+    rep_out, rep_info = jax.block_until_ready(
+        dp.make_run_info(rep_cfg, mesh)(rep, 64))
+    hal = halo.morton_shard_state(st, mesh)
+    hal_out, hal_info = jax.block_until_ready(
+        halo.make_run(cfg, mesh)(hal, 64))
+    # same particles, different order: compare via lexsort on positions
+    rp, hp = (np.asarray(s.pos) for s in (rep_out, hal_out))
+    rv, hv = (np.asarray(s.vel) for s in (rep_out, hal_out))
+    ri = np.lexsort(rp.T)
+    hi = np.lexsort(hp.T)
+    dpos = float(np.max(np.abs(rp[ri] - hp[hi])))
+    dvel = float(np.max(np.abs(rv[ri] - hv[hi])))
+    scale = float(np.max(np.abs(rp)))
+    match = dpos <= 1e-3 * scale and dvel <= 1e-2
+    print(f"leg1 match-vs-replicated: max|dpos|={dpos:.3g} "
+          f"(scale {scale:.3g}) max|dvel|={dvel:.3g} "
+          f"halo_viol={int(hal_info['halo_violations'])} "
+          f"[{'PASS' if match else 'FAIL'}]", flush=True)
+
+    # ---- leg 2: 2k steps through the impact, auto re-sharding ----
+    t0 = time.time()
+
+    def on_segment(state, done, info):
+        d = {k2: float(v) for k2, v in
+             diagnostics.measure(jax.device_get(state), cfg).items()}
+        d.update(step=done,
+                 halo_violations=int(info["halo_violations"]),
+                 nbr_overflow=int(info["nbr_overflow"]),
+                 tree_overflow=int(info["tree_overflow"]),
+                 wall_s=round(time.time() - t0, 1))
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        print(f"step {done}: E={d['total_energy']:.6g} "
+              f"|p|={d['momentum_mag']:.3g} "
+              f"viol={d['halo_violations']} "
+              f"over=({d['nbr_overflow']},{d['tree_overflow']})",
+              flush=True)
+
+    state, total, reshards = halo.run_resharded(
+        hal, cfg, mesh, args.steps, span=args.segment,
+        log=lambda m: print(f"  {m}", flush=True),
+        on_segment=on_segment)
+
+    rows = [json.loads(ln) for ln in open(jsonl)]
+    e0, e1 = rows[0]["total_energy"], rows[-1]["total_energy"]
+    summary = dict(
+        n=args.n, steps=args.steps, match_vs_replicated=match,
+        dpos=dpos, dvel=dvel, reshards=reshards,
+        halo_violations=int(total["halo_violations"]),
+        energy_rel_change=abs(e1 - e0) / abs(e0),
+        momentum_max=max(r["momentum_mag"] for r in rows),
+        wall_s=rows[-1]["wall_s"])
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    return 0 if match else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
