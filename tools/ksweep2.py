@@ -266,9 +266,11 @@ VARIANTS = {
                      sph_refined_window=64, p2p_window=160, m2p_window=96),
     # (b) particle-exact SPH lists re-measured WITH padded gather rows
     # (the 'net slower' verdict predates the tiny-row-gather fix) on top
-    # of the full r3 stack; capacity above the measured ~770 candidate max
-    "r4x896": dict(sph_exact_window=896),
-    "r4x1024": dict(sph_exact_window=1024),
+    # of the full r3 stack; capacity above the measured ~770 candidate
+    # max. fuse_p2p_sph off: the fusion rides sub-granular SPH window
+    # rows, which exact lists replace (structure.fuse_active raises).
+    "r4x896": dict(sph_exact_window=896, fuse_p2p_sph=False),
+    "r4x1024": dict(sph_exact_window=1024, fuse_p2p_sph=False),
     # longer far-field period at the ship point (r3 finisher, unmeasured)
     "r4r16": dict(respa_every=16),
     "r4w80": dict(sph_refined_window=80),
