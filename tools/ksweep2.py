@@ -292,6 +292,14 @@ VARIANTS = {
     "r4fuser16": dict(fuse_p2p_sph=True, p2p_window=112, respa_every=16),
     "r4fusew80r16": dict(fuse_p2p_sph=True, sph_refined_window=80,
                          p2p_window=112, respa_every=16),
+    # round-5 headroom probes on the shipped r4 point (preset defaults
+    # = fused ship; adoption needs a fresh 12k drift validation):
+    # tighter truncation (settled refined max 65) and far field once
+    # per rebuild period
+    "r5w72": dict(p2p_window=112, sph_refined_window=72),
+    "r5r32": dict(p2p_window=112, respa_every=32),
+    "r5w72r32": dict(p2p_window=112, sph_refined_window=72,
+                     respa_every=32),
 }
 
 
