@@ -70,7 +70,13 @@ def build_cfg(n):
         # where single-chip dropped none) — sized with that headroom
         nbr_window=256, p2p_window=288, m2p_window=288,
         av_alpha=1.0, av_beta=2.0,
-        dp_mode="halo", halo_ring_radius=2, halo_chunk=64)
+        # ring radius 3 of 8 shards: each 4-shard ball's own bricks meet
+        # at its core (max intra-ball shard distance 3), so 3 is the
+        # smallest ring that makes the PRE-collision state ring-coherent.
+        # The merger still exceeds it (one ball over 8 shards needs the
+        # full mesh) — that is the part the auto re-shard + loud
+        # accept-and-count path is exercised by.
+        dp_mode="halo", halo_ring_radius=3, halo_chunk=64)
 
 
 def main():
@@ -92,16 +98,24 @@ def main():
     # ---- leg 0: settle one n/2 polytrope ball, then collide copies ----
     nb = args.n // 2
     bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
+    # x3 windows: the resolved polytrope core's occupancy grows with n
+    # (x2 settled 2k/8k cleanly but dropped 120k entries at 32k, and a
+    # settle-corrupted ball NaNs the production legs downstream)
     scfg = bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
                         respa_every=1, rebuild_every=4,
-                        nbr_window=bcfg.nbr_window * 2,
-                        p2p_window=bcfg.p2p_window * 2,
-                        m2p_window=bcfg.m2p_window * 2)
+                        nbr_window=bcfg.nbr_window * 3,
+                        p2p_window=bcfg.p2p_window * 3,
+                        m2p_window=bcfg.m2p_window * 3)
     ball = planet.prime(ics.polytrope(scfg), scfg)
     ball, sinfo = jax.block_until_ready(jax.jit(
         lambda s: planet.run_info(s, scfg, 400))(ball))
-    print(f"leg0 settled ball: over=({int(sinfo['nbr_overflow'])},"
-          f"{int(sinfo['tree_overflow'])})", flush=True)
+    sover = (int(sinfo["nbr_overflow"]), int(sinfo["tree_overflow"]))
+    print(f"leg0 settled ball: over={sover}", flush=True)
+    if sum(sover):
+        print("leg0 OVERFLOW: settle windows too small for this n — "
+              "aborting rather than validating from a corrupted ball",
+              flush=True)
+        return 3
 
     dx = np.array([args.separation / 2, 4.0, 0.0], np.float32)
     dv = np.array([args.approach_speed / 2, 0.0, 0.0], np.float32)
