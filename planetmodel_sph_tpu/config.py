@@ -571,6 +571,9 @@ def jupiter_100k(**kw) -> SimConfig:
         #                   max 168 -> 108 non-SPH sub-blocks), refined
         #                   SPH window 96 -> 80 (settled max 65), far
         #                   field every 16 steps
+        #   46.2          + far field once per rebuild period (r5r32;
+        #                   drift-validated at 1.46e-5/10k,
+        #                   drift100k_r4ship32/)
         #
         # The round-2 'quad pumps energy' diagnosis was frozen-h in
         # disguise: with tracked h BOTH far fields are drift-flat
@@ -587,14 +590,15 @@ def jupiter_100k(**kw) -> SimConfig:
         # (planet.com_correct) restores exact sum(m a_grav)=0; the
         # reference leaves this as an open TODO
         # (GravityFieldSystem.cs:277-283). Validated in
-        # docs/results/drift100k_r4ship: |p| stays at float-noise AND the
-        # energy drift is unchanged.
+        # docs/results/drift100k_r4ship (respa 16) and _r4ship32 (the
+        # shipped point): |p| stays at float-noise AND the energy drift
+        # is unchanged.
         grav_com_correction=True,
         gather_pad_rows=32,
         h_track_margin=0.04,
         sph_refine_subblock=True,
         sph_refined_window=80,
-        respa_every=16,
+        respa_every=32,
         fuse_p2p_sph=True,
         # window capacities in SUB-block units; sized from measured
         # settled-state maxima with K=32 skins (ksweep2 r3q10sbrk32r8w:

@@ -62,9 +62,10 @@ def test_jupiter_100k_overflow_safe_knobs():
     # are drift-flat with tracking, docs/results/drift100k_v2 + _q10t).
     # Do NOT change these knobs without a full 12k-step drift run
     # (tools/drift100k.py) proving the new point stable — the r4 point
-    # (fusion + refined window 80 + respa 16) is proved in
-    # docs/results/drift100k_r4ship (2.03e-5/10k, |p| 7.2e-5, zero
-    # overflow).
+    # (fusion + refined window 80 + far field once per rebuild period)
+    # is proved in docs/results/drift100k_r4ship32 (1.46e-5/10k,
+    # |p| 7.2e-5, zero overflow; the respa-16 intermediate in
+    # _r4ship: 2.03e-5/10k).
     assert cfg.h_track_margin > 0.0
-    assert cfg.rebuild_every == 32 and cfg.respa_every == 16
+    assert cfg.rebuild_every == 32 and cfg.respa_every == 32
     assert cfg.multipole_order == 2 and cfg.theta == 1.0
