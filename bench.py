@@ -66,6 +66,12 @@ def _probe_device(timeout_s: int = 120, attempts: int = 3,
 def main() -> int:
     try:
         _probe_device()
+        # The 3k row benches the young cold ball (operating_point:
+        # "early_transient"). For THIS config that is cost-honest: the
+        # dense O(N^2) pipeline's work is shape-static (every pair slot is
+        # evaluated regardless of density contrast), so steps/s does not
+        # depend on how settled the state is — unlike the windowed 100k
+        # pipeline, which is why that row loads a settled checkpoint.
         result = run_bench(n=3000, steps=200)
     except Exception as e:  # noqa: BLE001 — ALWAYS emit a JSON line
         print(json.dumps({"metric": "particle_steps_per_sec", "value": 0.0,

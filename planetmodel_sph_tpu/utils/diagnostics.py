@@ -41,10 +41,19 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
     e_int = jnp.sum(m * u)
 
     mom = jnp.sum(m[:, None] * state.vel, axis=0)
-    ang = jnp.sum(m[:, None] * jnp.cross(state.pos, state.vel), axis=0)
 
     com = jnp.sum(m[:, None] * state.pos, axis=0) / jnp.sum(m)
+    vcom = mom / jnp.sum(m)
+    # L about the instantaneous COM (frame-invariant): about the origin,
+    # L would mix in R_com x P and hide the tree-torque signal the gate
+    # watches (VERDICT r4 weak #3)
+    ang = jnp.sum(m[:, None] * jnp.cross(state.pos - com,
+                                         state.vel - vcom), axis=0)
     r = jnp.linalg.norm(state.pos - com, axis=-1)
+    # moment of inertia about the COM: converts an L drift into an implied
+    # solid-body spin rate d(omega) = dL / I — the physically meaningful
+    # scale for "how much spurious rotation is the tree torque injecting"
+    inertia = jnp.sum(m * r * r)
 
     def stats(x, name):
         return {
@@ -61,7 +70,11 @@ def measure(state: ParticleState, cfg: SimConfig) -> dict:
         "total_energy": ke + pe + e_int,
         "momentum_x": mom[0], "momentum_y": mom[1], "momentum_z": mom[2],
         "momentum_mag": _safe_norm(mom),
+        "angular_momentum_x": ang[0],
+        "angular_momentum_y": ang[1],
         "angular_momentum_z": ang[2],
+        "angular_momentum_mag": _safe_norm(ang),
+        "inertia_com": inertia,
         "radius_rms": jnp.sqrt(jnp.mean(r * r)),
         "radius_max": jnp.max(r),
         "neighbors_avg": jnp.mean(state.n_neighbors.astype(jnp.float32)),

@@ -51,9 +51,10 @@ from planetmodel_sph_tpu.utils import diagnostics
 
 def build_cfg(n):
     # production formulation (jupiter_100k's stack) at 32k scale on the
-    # halo layout; ring radius 2 keeps the ring local through approach
-    # (post-merger the 8 octants of one ball exceed ANY 1-D ring — the
-    # driver counts those violations loudly instead of hiding them).
+    # halo layout; ring radius 3 (see the halo_ring_radius note below)
+    # keeps the PRE-collision state ring-coherent. Post-merger the 8
+    # octants of one ball exceed ANY 1-D ring — the driver counts those
+    # violations loudly instead of hiding them.
     # radius ~ n^(1/3) keeps spacing/h/window occupancy n-invariant, so
     # a small-n smoke validates the 32k window sizing.
     return psph.default(
@@ -133,13 +134,17 @@ def main():
     hal = halo.morton_shard_state(st, mesh)
     hal_out, hal_info = jax.block_until_ready(
         halo.make_run(cfg, mesh)(hal, 64))
-    # same particles, different order: compare via lexsort on positions
+    # same particles, different order (the halo layout Morton-sorts and
+    # the state carries no id field): pair each replicated particle with
+    # its nearest halo particle via a KD-tree. Unlike an independent
+    # lexsort on float positions, nearest-neighbor pairing cannot swap
+    # two near-equal coordinates that sorted differently between runs.
+    from scipy.spatial import cKDTree
     rp, hp = (np.asarray(s.pos) for s in (rep_out, hal_out))
     rv, hv = (np.asarray(s.vel) for s in (rep_out, hal_out))
-    ri = np.lexsort(rp.T)
-    hi = np.lexsort(hp.T)
-    dpos = float(np.max(np.abs(rp[ri] - hp[hi])))
-    dvel = float(np.max(np.abs(rv[ri] - hv[hi])))
+    dist, hi = cKDTree(hp).query(rp, k=1)
+    dpos = float(np.max(dist))
+    dvel = float(np.max(np.abs(rv - hv[hi])))
     scale = float(np.max(np.abs(rp)))
     match = dpos <= 1e-3 * scale and dvel <= 1e-2
     print(f"leg1 match-vs-replicated: max|dpos|={dpos:.3g} "

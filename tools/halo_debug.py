@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Isolate the leg-1 NaN in tools/halo_collision.py at smoke scale.
+
+Runs the same settle + prime, then advances the replicated and halo legs
+in 8-step segments, printing finiteness + diagnostics after each.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import numpy as np
+
+import planetmodel_sph_tpu as psph
+from planetmodel_sph_tpu.models import ics, planet
+from planetmodel_sph_tpu.parallel import dp, halo, mesh as mesh_mod
+from halo_collision import build_cfg
+
+
+def finite(state):
+    return all(bool(jax.numpy.all(jax.numpy.isfinite(l)))
+               for l in jax.tree.leaves(state))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    cfg = build_cfg(n)
+    mesh = mesh_mod.make_mesh(8)
+    nb = n // 2
+    bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
+    scfg = bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
+                        respa_every=1, rebuild_every=4,
+                        nbr_window=bcfg.nbr_window * 3,
+                        p2p_window=bcfg.p2p_window * 3,
+                        m2p_window=bcfg.m2p_window * 3)
+    ball = planet.prime(ics.polytrope(scfg), scfg)
+    ball, sinfo = jax.block_until_ready(jax.jit(
+        lambda s: planet.run_info(s, scfg, 400))(ball))
+    print("settle over:", int(sinfo["nbr_overflow"]),
+          int(sinfo["tree_overflow"]), "finite:", finite(ball), flush=True)
+
+    dx = np.array([30.0, 4.0, 0.0], np.float32)
+    dv = np.array([0.3, 0.0, 0.0], np.float32)
+    a = ball.replace(pos=ball.pos - dx, vel=ball.vel + dv)
+    b = ball.replace(pos=ball.pos + dx, vel=ball.vel - dv)
+    st = jax.tree.map(lambda x, y: jax.numpy.concatenate([x, y], axis=0),
+                      a, b)
+    st = planet.prime(st, cfg)
+    print("primed finite:", finite(st), flush=True)
+
+    rep_cfg = cfg.replace(dp_mode="replicated")
+    rep = mesh_mod.shard_state(st, mesh)
+    rrun = dp.make_run_info(rep_cfg, mesh)
+    hal = halo.morton_shard_state(st, mesh)
+    hrun = halo.make_run(cfg, mesh)
+    for seg in range(8):
+        rep, rinfo = jax.block_until_ready(rrun(rep, 8))
+        hal, hinfo = jax.block_until_ready(hrun(hal, 8))
+        print(f"seg {seg}: rep finite={finite(rep)} "
+              f"over=({int(rinfo['nbr_overflow'])},"
+              f"{int(rinfo['tree_overflow'])})  "
+              f"halo finite={finite(hal)} "
+              f"over=({int(hinfo['nbr_overflow'])},"
+              f"{int(hinfo['tree_overflow'])}) "
+              f"viol={int(hinfo['halo_violations'])}", flush=True)
+        if not (finite(rep) and finite(hal)):
+            break
+
+
+if __name__ == "__main__":
+    main()

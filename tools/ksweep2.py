@@ -300,7 +300,7 @@ VARIANTS = {
     "r5r32": dict(p2p_window=112, respa_every=32),
     "r5w72r32": dict(p2p_window=112, sph_refined_window=72,
                      respa_every=32),
-    # capacity-hugging m2p (settled ring max 96) and wider chunk (less
+    # capacity-hugging m2p (settled ring max 96) and narrower chunk (less
     # ceil-to-chunk padding at the shrunken per-step windows)
     "r5m112": dict(p2p_window=112, m2p_window=112),
     "r5c256": dict(p2p_window=112, block_chunk=256),
