@@ -245,6 +245,16 @@ class SimConfig:
     # cancel globally (the tier sweep's +2.4Gm/h self term offsets the
     # fused sweep's included Dyer-Ip self potential).
     fuse_p2p_sph: bool = False
+    # Sweep the RESIDUAL p2p window (the non-SPH near sub-blocks that
+    # fuse_p2p_sph leaves behind) inside the pass-2 launch as well,
+    # instead of a separate gk2.p2p launch. The round-5 stage profile
+    # showed the separate launch's per-group fixed costs (~2us DMA
+    # issue/semaphores per 64-target group) costing as much as its pair
+    # math at the shrunken round-4 windows — a 2-trip p2p sweep timed
+    # ~equal to a 3-trip pass1. Merging drops one launch from the
+    # per-step path (same windows, same math, same loud overflow).
+    # Requires fuse_p2p_sph.
+    fuse_p2p_residual: bool = False
     # Pad per-entry gather table rows to this many floats (0 = off).
     # Tiny rows (<=16 B: ring/blk moment entries, single-column exact-list
     # extras) gather at a pathological ~30-150 M rows/s on this TPU while

@@ -57,7 +57,7 @@ _INV_PI = 1.0 / 3.14159265358979323846
 
 
 def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
-          n_acc, gb=1):
+          n_acc, gb=1, src_rows2=()):
     """Assemble a pallas_call for the windowed-pair pattern (1-D grid over
     target groups) with `n_acc` [B, CHUNK] f32 VMEM accumulators.
 
@@ -66,7 +66,12 @@ def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
     measured ~2.5us against <1us of pair math per 64-target group at the
     settled 100k point) amortize gb-fold and the window DMAs get gb x
     larger. The kernel receives [gb*B, 1] target cols / [gb, 1, S] rows
-    and must loop k in [0, gb) itself (see _groups helper)."""
+    and must loop k in [0, gb) itself (see _groups helper).
+
+    `src_rows2`: optional SECOND row set with its own width (a different
+    window swept in the same launch — the residual-P2P merge of
+    SimConfig.fuse_p2p_residual); delivered to the kernel after the
+    first row set."""
     s = src_rows[0].shape[1]
     g_total = tgt_cols[0].shape[0] // b
     ng = -(-g_total // gb)
@@ -75,23 +80,32 @@ def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
         smem = [jnp.pad(v, (0, gpad)) for v in smem]
         tgt_cols = [jnp.pad(x, ((0, gpad * b), (0, 0))) for x in tgt_cols]
         src_rows = [jnp.pad(r, ((0, gpad), (0, 0))) for r in src_rows]
+        src_rows2 = [jnp.pad(r, ((0, gpad), (0, 0))) for r in src_rows2]
     col = pl.BlockSpec((gb * b, 1), lambda g: (g, 0),
                        memory_space=pltpu.VMEM)
     row = pl.BlockSpec((gb, 1, s), lambda g: (g, 0, 0),
                        memory_space=pltpu.VMEM)
     outs = [jax.ShapeDtypeStruct((ng * gb * b, 1), dt) for dt in out_dtypes]
     rows3 = [r[:, None, :] for r in src_rows]
+    in_specs = [_SCL] * len(smem) + [col] * len(tgt_cols) \
+        + [row] * len(src_rows)
+    rows3b = []
+    if src_rows2:
+        s2 = src_rows2[0].shape[1]
+        row2 = pl.BlockSpec((gb, 1, s2), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+        rows3b = [r[:, None, :] for r in src_rows2]
+        in_specs += [row2] * len(src_rows2)
     res = pl.pallas_call(
         kernel,
         grid=(ng,),
-        in_specs=[_SCL] * len(smem) + [col] * len(tgt_cols)
-        + [row] * len(src_rows),
+        in_specs=in_specs,
         out_specs=[col] * len(out_dtypes),
         out_shape=outs,
         scratch_shapes=[pltpu.VMEM((b, chunk), jnp.float32)
                         for _ in range(n_acc)],
         interpret=not _on_tpu(),
-    )(*smem, *tgt_cols, *rows3)
+    )(*smem, *tgt_cols, *rows3, *rows3b)
     if gpad:
         res = tuple(r[:g_total * b] for r in res)
     return res
@@ -406,8 +420,9 @@ def _gw_from(q, inv_h, inv_h4, inv_r, sign_bug):
 
 def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
                   sign_bug, av_alpha, av_beta, gb, b, grav,
-                  receiver_soft, g_const):
+                  receiver_soft, g_const, p2p_n=0):
     it = iter(args)
+    nv2_ref = next(it) if p2p_n else None
     tx, ty, tz, tih = (next(it) for _ in range(4))
     tc = next(it) if mode != "reference_asymmetric" else None
     if av:
@@ -419,6 +434,7 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
     # source velocity (+AV fields [+balsara f]) rows: vx,vy,vz[,h,cs,rho[,f]]
     n_sav = (7 if balsara else 6) if av else (3 if energy else 0)
     s_av = [next(it) for _ in range(n_sav)]
+    p2p_rows = [next(it) for _ in range(p2p_n)]
     gpx_ref, gpy_ref, gpz_ref = (next(it) for _ in range(3))
     if av:
         avx_ref, avy_ref, avz_ref = (next(it) for _ in range(3))
@@ -427,6 +443,9 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
     g_refs = [next(it) for _ in range(5)] if grav else []
     acc = list(it)      # [] when single-trip; n_out scratch otherwise
     rows = [sx, sy, sz, sih, sm, scc] + s_av
+    # program_id must be read OUTSIDE the _groups fori_loop: inside a
+    # lax control-flow region the interpret-mode fallback cannot lower it
+    pid = pl.program_id(0) if p2p_n else None
 
     def per_group(k, o, nv):
         sl = pl.ds(o, b)
@@ -537,6 +556,48 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
                     a[:] += c
 
             _sweep(nv, k, rows, chunk, body)
+            if p2p_n:
+                # residual-P2P merge (SimConfig.fuse_p2p_residual): sweep
+                # the non-SPH near-field window into the SAME gravity
+                # accumulators — one launch instead of two, amortizing
+                # the per-group fixed costs the separate p2p launch pays
+                # (measured ~as much as its pair math at the shrunken
+                # round-4 windows). Same math as _p2p_kernel (f32 path).
+                a_phi, a_gx, a_gy, a_gz, a_nd = acc[-5:]
+
+                def p2p_body(tiles, valid):
+                    if receiver_soft:
+                        cx, cy, cz, cm = tiles
+                        inv_a = tihv
+                    else:
+                        cx, cy, cz, cih, cm = tiles
+                        inv_a = jnp.minimum(tihv, cih)
+                    dxx = txv - cx
+                    dxy = tyv - cy
+                    dxz = tzv - cz
+                    r2 = dxx * dxx + dxy * dxy + dxz * dxz
+                    m_eff = jnp.where(valid, cm, 0.0)
+                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+                    x = (r2 * inv_r) * inv_a
+                    x2 = x * x
+                    x3 = x2 * x
+                    inv_a3 = inv_a * inv_a * inv_a
+                    inner_mag = (m_eff * inv_a3) * (8.0 - 9.0 * x
+                                                    + 2.0 * x3)
+                    inner_phi = -(m_eff * inv_a) * (2.4 - 4.0 * x2
+                                                    + 3.0 * x3
+                                                    - 0.4 * x2 * x3)
+                    mr = m_eff * inv_r
+                    near_g = x < 1.0
+                    mag = jnp.where(near_g, inner_mag, mr * inv_r * inv_r)
+                    a_phi[:] += jnp.where(near_g, inner_phi, -mr)
+                    a_gx[:] += dxx * mag
+                    a_gy[:] += dxy * mag
+                    a_gz[:] += dxz * mag
+                    a_nd[:] += jnp.where(m_eff > 0.0, 1.0, 0.0)
+
+                _sweep(nv2_ref[pid * gb + k], k, p2p_rows,
+                       chunk, p2p_body)
             sums = [_rsum(a) for a in acc]
         else:
             sums = [jnp.sum(c, axis=1, keepdims=True)
@@ -568,7 +629,7 @@ def _pass2_kernel(nv_ref, *args, chunk, mode, av, energy, balsara,
 
 def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
           av_beta=0.0, gb=1, energy=False, balsara=False, grav=False,
-          receiver_soft=False, g_const=1.0):
+          receiver_soft=False, g_const=1.0, nv_p2p=None, p2p_rows=None):
     """Pressure-gradient sweep with precomputed per-particle coefficients.
 
     tgt cols: x,y,z,ih, then tc (absent for reference_asymmetric), then AV
@@ -589,21 +650,33 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
     near-field gravity over the SAME rows (SimConfig.fuse_p2p_sph; same
     conventions as :func:`p2p`: phi includes the self term, n_direct the
     self pair).
+
+    `nv_p2p`/`p2p_rows` (needs grav=True): ALSO sweep this second
+    gravity-geometry window (x,y,z[,ih],m — ih absent under receiver
+    softening) into the same gravity accumulators — the residual-P2P
+    merge (SimConfig.fuse_p2p_residual). The separate :func:`p2p` launch
+    then disappears from the per-step path entirely.
     """
     single = src[0].shape[1] == chunk
+    merged = p2p_rows is not None
+    if merged and not grav:
+        raise ValueError("the residual-P2P merge needs grav=True")
     kern = functools.partial(_pass2_kernel, chunk=chunk, mode=mode, av=av,
                              energy=energy, balsara=balsara,
                              sign_bug=sign_bug, grav=grav,
                              receiver_soft=receiver_soft, g_const=g_const,
-                             av_alpha=av_alpha, av_beta=av_beta, gb=gb, b=b)
+                             av_alpha=av_alpha, av_beta=av_beta, gb=gb, b=b,
+                             p2p_n=len(p2p_rows) if merged else 0)
     n_out = (6 if av else 3) + (4 if balsara else 0) + (1 if energy else 0)
     dts = [jnp.float32] * n_out
     if grav:
         n_out += 5
         dts += [jnp.float32] * 4 + [jnp.int32]
-    return _call(kern, out_dtypes=dts, smem=[nv],
+    return _call(kern, out_dtypes=dts,
+                 smem=[nv, nv_p2p] if merged else [nv],
                  tgt_cols=tgt, src_rows=src, b=b, chunk=chunk,
-                 n_acc=0 if single else n_out, gb=gb)
+                 n_acc=n_out if (merged or not single) else 0, gb=gb,
+                 src_rows2=p2p_rows or ())
 
 
 # ---------------------------------------------------------------------------

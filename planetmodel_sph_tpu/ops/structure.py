@@ -94,6 +94,9 @@ def fuse_active(cfg: SimConfig) -> bool:
     particle-exact SPH lists, and the supergroup far tier (whose
     block-monopole bookkeeping cannot exclude individual sub-blocks)."""
     if not cfg.fuse_p2p_sph:
+        if cfg.fuse_p2p_residual:
+            raise ValueError("fuse_p2p_residual extends fuse_p2p_sph — "
+                             "enable both")
         return False
     if (cfg.neighbor_mode != "grid" or cfg.sph_exact_window > 0
             or cfg.sg_blocks > 1):
@@ -1013,13 +1016,27 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
         s_extra += [s["vx"], s["vy"], s["vz"]]
     extra_rows = _sph_rows(s_extra, st, cfg, ctx.nb)
     fused = do_grav and grav_tiers != "far" and fuse_active(cfg)
+    receiver = cfg.softening_mode == "receiver_h"
+    # residual-P2P merge (cfg.fuse_p2p_residual): the non-SPH near
+    # window is swept inside THIS launch too — one launch fewer on the
+    # per-step path (see the SimConfig field doc for the measured
+    # fixed-cost rationale)
+    merged = fused and cfg.fuse_p2p_residual
+    p2p_kw = {}
+    if merged:
+        sub = cfg.nbr_sub
+        nsub = ctx.nb * (bsz // sub)
+        srcp = _window_gather(_geom(ctx.s), st.p2p_idx, nsub, sub, chunk)
+        if receiver:
+            srcp = [srcp[0], srcp[1], srcp[2], srcp[4]]
+        p2p_kw = dict(nv_p2p=jnp.minimum(st.n_p2p, cfg.p2p_window) * sub,
+                      p2p_rows=srcp)
     outs = gk2.pass2(
         nv, tgt2, geom_rows + extra_rows, b=bsz, chunk=chunk,
         mode=cfg.grad_p_mode, av=av, energy=energy, balsara=balsara,
         sign_bug=cfg.kernel_deriv_sign_bug, av_alpha=cfg.av_alpha,
         av_beta=cfg.av_beta, gb=cfg.kernel_gb, grav=fused,
-        receiver_soft=cfg.softening_mode == "receiver_h",
-        g_const=cfg.g_const)
+        receiver_soft=receiver, g_const=cfg.g_const, **p2p_kw)
     grad_p_t = jnp.concatenate(outs[:3], axis=-1)           # [Gt*B, 3]
     if p_scale is not None:
         grad_p_t = grad_p_t * p_scale[:, None]
@@ -1038,8 +1055,27 @@ def forces(pos, h, mass, cfg: SimConfig, st: BlockStructure, vel=None,
 
     # ---- gravity ----
     if do_grav:
-        phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(ctx, cfg, st,
-                                                        tiers=grav_tiers)
+        if merged:
+            # the pass-2 launch already swept BOTH near windows (SPH +
+            # residual p2p); only the far tiers (ring + dense scan) come
+            # from _gravity_sweeps, and only on far-cadence steps
+            self_phi = 2.4 * cfg.g_const * t["m"] * t["ih"]
+            if grav_tiers == "near":
+                phi_t = self_phi
+                grad_phi_t = jnp.zeros_like(grad_p_t)
+                na_t = jnp.zeros_like(nn_t)
+            else:
+                phi_f, grad_f, _, na_t = _gravity_sweeps(ctx, cfg, st,
+                                                         tiers="far")
+                phi_t = phi_f + self_phi
+                grad_phi_t = grad_f
+            # self corrections as in the unmerged fused path: +self_phi
+            # offsets the Dyer-Ip self potential the SPH rows include,
+            # -1 the self pair in n_direct
+            nd_t = -jnp.ones_like(nn_t)
+        else:
+            phi_t, grad_phi_t, nd_t, na_t = _gravity_sweeps(
+                ctx, cfg, st, tiers=grav_tiers)
         if fused:
             # fused near-field part from the pass-2 sweep: the tier
             # sweep's +2.4 G m/h self correction exactly offsets the

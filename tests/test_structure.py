@@ -548,3 +548,56 @@ def test_fused_p2p_guards():
     pos, h, mass = _cloud(cfg.n)
     with pytest.raises(ValueError):
         structure.build(pos, h, mass, cfg)
+    with pytest.raises(ValueError):
+        structure.fuse_active(_cfg(fuse_p2p_residual=True))
+
+
+def test_fused_residual_matches_separate_launch():
+    """fuse_p2p_residual sweeps the SAME residual-p2p window with the
+    SAME Dyer-Ip math inside the pass-2 launch — forces must match the
+    two-launch fused path to accumulation-order tolerance, for both
+    softening modes."""
+    for soft in ("receiver_h", "min_h"):
+        base = _cfg(fuse_p2p_sph=True, softening_mode=soft,
+                    grad_p_mode="grad_h")
+        pos, h, mass = _cloud(base.n, seed=3, radius=20.0)
+        st = structure.build(pos, h, mass, base)
+        ref = structure.forces(pos, h, mass, base, st)
+        out = structure.forces(pos, h, mass,
+                               base.replace(fuse_p2p_residual=True), st)
+        np.testing.assert_allclose(np.asarray(out.phi),
+                                   np.asarray(ref.phi), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.grad_phi),
+                                   np.asarray(ref.grad_phi), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out.n_direct),
+                                      np.asarray(ref.n_direct))
+        np.testing.assert_allclose(np.asarray(out.grad_p),
+                                   np.asarray(ref.grad_p), rtol=1e-6,
+                                   atol=1e-6)
+
+
+def test_fused_residual_cached_run_tracks_unmerged():
+    """The merge under the FULL production stack (refine + truncation +
+    cached sorted chunks + RESPA near/far split): trajectories must
+    track the unmerged fused run."""
+    from planetmodel_sph_tpu.models import ics, planet
+    cfg = config.SimConfig(
+        n=1024, radius=30.0, particle_radius=3.0, neighbor_mode="grid",
+        gravity_solver="tree", grad_p_mode="grad_h", h_mode="newton",
+        h_track_margin=0.04, sph_refine_subblock=True,
+        sph_refined_window=64, rebuild_every=4, respa_every=2,
+        multipole_order=2, nbr_group_size=32, nbr_sub=16,
+        nbr_group_level=2, nbr_window=128, p2p_window=128,
+        m2p_window=128, fuse_p2p_sph=True)
+    st0 = planet.prime(ics.jupiter(cfg), cfg.replace(rebuild_every=1,
+                                                     respa_every=1))
+    ref, info_ref = planet.run_info(st0, cfg, 8)
+    out, info = planet.run_info(
+        st0, cfg.replace(fuse_p2p_residual=True), 8)
+    assert int(info["nbr_overflow"]) == 0 == int(info["tree_overflow"])
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=1e-4)

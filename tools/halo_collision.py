@@ -36,9 +36,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+# HALO_NO_FORCE_CPU=1 lets tools/settle_ball.py import build_cfg/settle
+# and run leg 0 on the real TPU chip (the 400-step 16k settle takes
+# seconds there vs HOURS in the single-core CPU interpret fallback —
+# measured: the round-4 32k attempt burned 2h of CPU without finishing
+# leg 0). The mesh legs themselves still need the forced 8-device CPU.
+if os.environ.get("HALO_NO_FORCE_CPU") != "1":
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 import numpy as np
@@ -80,6 +86,19 @@ def build_cfg(n):
         dp_mode="halo", halo_ring_radius=3, halo_chunk=64)
 
 
+def settle_cfg(cfg, nb):
+    """Leg-0 settle config for one n/2 ball (shared with settle_ball.py)."""
+    bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
+    # x3 windows: the resolved polytrope core's occupancy grows with n
+    # (x2 settled 2k/8k cleanly but dropped 120k entries at 32k, and a
+    # settle-corrupted ball NaNs the production legs downstream)
+    return bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
+                        respa_every=1, rebuild_every=4,
+                        nbr_window=bcfg.nbr_window * 3,
+                        p2p_window=bcfg.p2p_window * 3,
+                        m2p_window=bcfg.m2p_window * 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32768)
@@ -88,6 +107,10 @@ def main():
     ap.add_argument("--out", default="docs/results/halo32k")
     ap.add_argument("--separation", type=float, default=60.0)
     ap.add_argument("--approach-speed", type=float, default=0.6)
+    ap.add_argument("--ball-ck", default=None,
+                    help="pre-settled n/2 ball checkpoint from "
+                         "tools/settle_ball.py (leg 0 on the TPU chip; "
+                         "the CPU interpret fallback needs hours for it)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     jsonl = os.path.join(args.out, "metrics.jsonl")
@@ -98,25 +121,25 @@ def main():
 
     # ---- leg 0: settle one n/2 polytrope ball, then collide copies ----
     nb = args.n // 2
-    bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
-    # x3 windows: the resolved polytrope core's occupancy grows with n
-    # (x2 settled 2k/8k cleanly but dropped 120k entries at 32k, and a
-    # settle-corrupted ball NaNs the production legs downstream)
-    scfg = bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
-                        respa_every=1, rebuild_every=4,
-                        nbr_window=bcfg.nbr_window * 3,
-                        p2p_window=bcfg.p2p_window * 3,
-                        m2p_window=bcfg.m2p_window * 3)
-    ball = planet.prime(ics.polytrope(scfg), scfg)
-    ball, sinfo = jax.block_until_ready(jax.jit(
-        lambda s: planet.run_info(s, scfg, 400))(ball))
-    sover = (int(sinfo["nbr_overflow"]), int(sinfo["tree_overflow"]))
-    print(f"leg0 settled ball: over={sover}", flush=True)
-    if sum(sover):
-        print("leg0 OVERFLOW: settle windows too small for this n — "
-              "aborting rather than validating from a corrupted ball",
-              flush=True)
-        return 3
+    if args.ball_ck:
+        from planetmodel_sph_tpu.utils import checkpoint as ck_mod
+        ball, _, _ = ck_mod.load(args.ball_ck)
+        if ball.n != nb:
+            print(f"ball checkpoint has n={ball.n}, need {nb}", flush=True)
+            return 4
+        print(f"leg0 ball loaded from {args.ball_ck}", flush=True)
+    else:
+        scfg = settle_cfg(cfg, nb)
+        ball = planet.prime(ics.polytrope(scfg), scfg)
+        ball, sinfo = jax.block_until_ready(jax.jit(
+            lambda s: planet.run_info(s, scfg, 400))(ball))
+        sover = (int(sinfo["nbr_overflow"]), int(sinfo["tree_overflow"]))
+        print(f"leg0 settled ball: over={sover}", flush=True)
+        if sum(sover):
+            print("leg0 OVERFLOW: settle windows too small for this n — "
+                  "aborting rather than validating from a corrupted ball",
+                  flush=True)
+            return 3
 
     dx = np.array([args.separation / 2, 4.0, 0.0], np.float32)
     dv = np.array([args.approach_speed / 2, 0.0, 0.0], np.float32)

@@ -29,20 +29,24 @@ def finite(state):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    ball_ck = sys.argv[2] if len(sys.argv) > 2 else None
     cfg = build_cfg(n)
     mesh = mesh_mod.make_mesh(8)
     nb = n // 2
-    bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
-    scfg = bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
-                        respa_every=1, rebuild_every=4,
-                        nbr_window=bcfg.nbr_window * 3,
-                        p2p_window=bcfg.p2p_window * 3,
-                        m2p_window=bcfg.m2p_window * 3)
-    ball = planet.prime(ics.polytrope(scfg), scfg)
-    ball, sinfo = jax.block_until_ready(jax.jit(
-        lambda s: planet.run_info(s, scfg, 400))(ball))
-    print("settle over:", int(sinfo["nbr_overflow"]),
-          int(sinfo["tree_overflow"]), "finite:", finite(ball), flush=True)
+    if ball_ck:
+        from planetmodel_sph_tpu.utils import checkpoint as ck_mod
+        ball, _, _ = ck_mod.load(ball_ck)
+        assert ball.n == nb, (ball.n, nb)
+        print("ball loaded:", ball_ck, "finite:", finite(ball), flush=True)
+    else:
+        from halo_collision import settle_cfg
+        scfg = settle_cfg(cfg, nb)
+        ball = planet.prime(ics.polytrope(scfg), scfg)
+        ball, sinfo = jax.block_until_ready(jax.jit(
+            lambda s: planet.run_info(s, scfg, 400))(ball))
+        print("settle over:", int(sinfo["nbr_overflow"]),
+              int(sinfo["tree_overflow"]), "finite:", finite(ball),
+              flush=True)
 
     dx = np.array([30.0, 4.0, 0.0], np.float32)
     dv = np.array([0.3, 0.0, 0.0], np.float32)

@@ -304,6 +304,27 @@ VARIANTS = {
     # ceil-to-chunk padding at the shrunken per-step windows)
     "r5m112": dict(p2p_window=112, m2p_window=112),
     "r5c256": dict(p2p_window=112, block_chunk=256),
+    # round-5 fixed-cost probes: the r5 stage profile (profile_block at
+    # the settled point) shows a 2-trip p2p sweep costing ~as much as a
+    # 3-trip pass1 — per-GROUP fixed costs ~2us dominate at the shrunken
+    # windows, and the sweeps run at 40-45G slot-evals/s vs the ~100G
+    # VPU pair-math ceiling. kernel_gb amortizes the fixed cost (gb=8
+    # was rejected at the ROUND-2 operating point with 3x wider windows;
+    # the trade moved), chunk 256 cuts ceil-to-chunk slot quantization
+    # (1536 -> 1280 evaluated at avg nv 1184), b128/s16 re-test group
+    # height and sub granularity under the round-4 cost structure.
+    "r5gb2": dict(p2p_window=112, kernel_gb=2),
+    "r5gb4": dict(p2p_window=112, kernel_gb=4),
+    "r5gb4c256": dict(p2p_window=112, kernel_gb=4, block_chunk=256),
+    "r5b128": dict(p2p_window=160, nbr_group_size=128, nbr_window=320,
+                   m2p_window=192, sph_refined_window=112),
+    "r5s16": dict(p2p_window=224, nbr_sub=16, nbr_window=480,
+                  m2p_window=256, sph_refined_window=160),
+    # residual-P2P merge (cfg.fuse_p2p_residual): the separate near-tier
+    # launch folds into pass 2 — one launch fewer per step
+    "r5mg": dict(p2p_window=112, fuse_p2p_residual=True),
+    "r5mgm112": dict(p2p_window=112, m2p_window=112,
+                     fuse_p2p_residual=True),
 }
 
 
