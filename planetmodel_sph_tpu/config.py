@@ -584,6 +584,12 @@ def jupiter_100k(**kw) -> SimConfig:
         #   46.2          + far field once per rebuild period (r5r32;
         #                   drift-validated at 1.46e-5/10k,
         #                   drift100k_r4ship32/)
+        #   50.3          + residual-P2P merge (ksweep2 r5mg): the
+        #                   non-SPH near window sweeps inside the pass-2
+        #                   launch (fuse_p2p_residual) — the separate
+        #                   p2p launch's per-group fixed costs rivaled
+        #                   its pair math at these window sizes
+        #                   (drift-validated in drift100k_r5ship/)
         #
         # The round-2 'quad pumps energy' diagnosis was frozen-h in
         # disguise: with tracked h BOTH far fields are drift-flat
@@ -610,6 +616,7 @@ def jupiter_100k(**kw) -> SimConfig:
         sph_refined_window=80,
         respa_every=32,
         fuse_p2p_sph=True,
+        fuse_p2p_residual=True,
         # window capacities in SUB-block units; sized from measured
         # settled-state maxima with K=32 skins (ksweep2 r3q10sbrk32r8w:
         # sph pre-refine 187 / post-refine 64, m2p 92; under fusion the

