@@ -83,7 +83,8 @@ def main() -> int:
 
     try:
         ck = next((p for p in
-                   ("docs/results/drift100k_r4ship32/state.psph",
+                   ("docs/results/drift100k_r5ship/state.psph",
+                    "docs/results/drift100k_r4ship32/state.psph",
                     "docs/results/drift100k_r3ship/state.psph")
                    if os.path.exists(p)), None)
         big = run_bench(n=100_000, steps=64, preset="jupiter_100k",

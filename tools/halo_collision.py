@@ -41,6 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # seconds there vs HOURS in the single-core CPU interpret fallback —
 # measured: the round-4 32k attempt burned 2h of CPU without finishing
 # leg 0). The mesh legs themselves still need the forced 8-device CPU.
+# CRITICAL: env vars alone do NOT force CPU here — the session's TPU
+# plugin sitecustomize overrides them via jax.config, after which
+# make_mesh(8) used to silently truncate to the ONE tpu device and the
+# ±R ring ppermute handed every shard R copies of ITSELF (duplicated
+# sources, ~Rx densities, NaN). jax.config.update must run too (the
+# tests/conftest.py recipe); make_mesh now raises on the truncation.
 if os.environ.get("HALO_NO_FORCE_CPU") != "1":
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
@@ -48,6 +54,11 @@ if os.environ.get("HALO_NO_FORCE_CPU") != "1":
 
 import jax
 import numpy as np
+
+if os.environ.get("HALO_NO_FORCE_CPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) >= 8, jax.devices()
 
 import planetmodel_sph_tpu as psph
 from planetmodel_sph_tpu.models import ics, planet
@@ -77,15 +88,18 @@ def build_cfg(n):
         # a correctness-first validation driver — the capacity-shaped
         # gather win truncation buys is a perf knob, not physics.
         sph_refine_subblock=True, sph_refined_window=0,
-        rebuild_every=8, sort_every=32, respa_every=4,
+        rebuild_every=8, sort_every=16, respa_every=4,
         multipole_order=2, theta=1.0, grav_com_correction=True,
-        # sized from the settled 16k ball's MEASURED occupancy at x1
-        # cutoffs (settle_ball.py unbounded-window probe: sph avg/max
-        # 124/326, p2p 71/204, m2p 79/199 in sub=16 rows) with ~2x
-        # headroom for the two-ball legs: dp/halo per-shard groupings
-        # pad differently than single-chip, Verlet skins widen cutoffs,
-        # and the merger compresses the cores together
-        nbr_window=640, p2p_window=512, m2p_window=512,
+        # sized ~1.5x the settled 16k ball's MEASURED single-chip
+        # occupancy (settle_ball.py unbounded-window probe: sph avg/max
+        # 124/326, p2p 71/204, m2p 79/199 in sub=16 rows) — margin for
+        # Verlet skins, per-shard box quantization and the merger
+        # compression. (Earlier this round the same driver measured
+        # occupancy up to 1198 rows and NaN'd: that was the degenerate
+        # 1-device "mesh" duplicating ring sources — see the CPU-forcing
+        # note above — not real demand.) halo_debug.py prints the REAL
+        # halo-layout stats; leg overflow stays loudly counted.
+        nbr_window=512, p2p_window=320, m2p_window=320,
         av_alpha=1.0, av_beta=2.0,
         # ring radius 3 of 8 shards: each 4-shard ball's own bricks meet
         # at its core (max intra-ball shard distance 3), so 3 is the
@@ -93,18 +107,16 @@ def build_cfg(n):
         # The merger still exceeds it (one ball over 8 shards needs the
         # full mesh) — that is the part the auto re-shard + loud
         # accept-and-count path is exercised by.
-        dp_mode="halo", halo_ring_radius=3, halo_chunk=64)
+        dp_mode="halo", halo_ring_radius=3, halo_chunk=16)
 
 
 def settle_cfg(cfg, nb, mult=3):
     """Leg-0 settle config for one n/2 ball (shared with settle_ball.py).
 
     `mult` widens every interaction window: the RAW polytrope IC's
-    early transient (jittered unconverged h) needs far wider windows
-    than the settled state — x3 dropped 120k neighbor entries during
-    the 16k-ball settle (x2 was clean at <=8k), so the settle runs x6
-    and settle_ball.py then PROBES the settled ball at the production
-    legs' own (x1) windows before saving it."""
+    early transient (jittered unconverged h) needs wider windows than
+    the settled state, and settle_ball.py PROBES the settled ball at
+    the production legs' own (x1) windows before saving it."""
     bcfg = cfg.replace(n=nb, total_mass=cfg.total_mass / 2)
     # (build_cfg runs refine without truncation — sph_refined_window=0 —
     # after the x3/x6 settle attempts dropped an IDENTICAL 120,638
@@ -168,13 +180,31 @@ def main():
     st = planet.prime(st, cfg)
 
     # ---- leg 1: halo matches replicated dp over a 64-step span ----
+    # advanced in 8-step sub-segments with per-segment counters: a
+    # failure (overflow climbing, non-finite state) then pinpoints its
+    # onset instead of surfacing 64 steps later as a KD-tree crash
     rep_cfg = cfg.replace(dp_mode="replicated")
-    rep = mesh_mod.shard_state(st, mesh)
-    rep_out, rep_info = jax.block_until_ready(
-        dp.make_run_info(rep_cfg, mesh)(rep, 64))
+    rep_out = mesh_mod.shard_state(st, mesh)
     hal = halo.morton_shard_state(st, mesh)
-    hal_out, hal_info = jax.block_until_ready(
-        halo.make_run(cfg, mesh)(hal, 64))
+    hal_out = hal
+    rrun = dp.make_run_info(rep_cfg, mesh)
+    hrun = halo.make_run(cfg, mesh)
+    hal_info = None
+    finite = lambda s: all(bool(jax.numpy.all(jax.numpy.isfinite(l)))
+                           for l in jax.tree.leaves(s))
+    for seg in range(8):
+        rep_out, rep_info = jax.block_until_ready(rrun(rep_out, 8))
+        hal_out, hal_info = jax.block_until_ready(hrun(hal_out, 8))
+        rf, hf = finite(rep_out), finite(hal_out)
+        print(f"leg1 seg {seg}: rep finite={rf} "
+              f"over=({int(rep_info['nbr_overflow'])},"
+              f"{int(rep_info['tree_overflow'])})  halo finite={hf} "
+              f"over=({int(hal_info['nbr_overflow'])},"
+              f"{int(hal_info['tree_overflow'])}) "
+              f"viol={int(hal_info['halo_violations'])}", flush=True)
+        if not (rf and hf):
+            print("leg1 NON-FINITE — aborting before pairing", flush=True)
+            return 5
     # same particles, different order (the halo layout Morton-sorts and
     # the state carries no id field): pair each replicated particle with
     # its nearest halo particle via a KD-tree. Unlike an independent

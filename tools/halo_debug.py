@@ -16,6 +16,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 import numpy as np
 
+# env vars alone lose to the session's TPU-plugin sitecustomize (see the
+# note in halo_collision.py) — force through jax.config like conftest
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import planetmodel_sph_tpu as psph
 from planetmodel_sph_tpu.models import ics, planet
 from planetmodel_sph_tpu.parallel import dp, halo, mesh as mesh_mod
@@ -62,6 +67,35 @@ def main():
     rrun = dp.make_run_info(rep_cfg, mesh)
     hal = halo.morton_shard_state(st, mesh)
     hrun = halo.make_run(cfg, mesh)
+
+    # halo-layout structure occupancy at unbounded windows: what the
+    # capacities must actually clear (per-shard grouping + [local|ring]
+    # source set fragment blocks very differently from single-chip)
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from planetmodel_sph_tpu.ops import structure as structure_mod
+    wcfg = cfg.replace(nbr_window=4096, p2p_window=4096, m2p_window=4096,
+                       sph_refine_subblock=False)
+
+    def stats(s):
+        r = wcfg.halo_ring_radius
+        collect = lambda x: halo._ring_collect(x, "dp", r)
+        src3 = (collect(s.pos), collect(s.h), collect(s.mass))
+        st_ = structure_mod.build(s.pos, s.h, s.mass, wcfg, src=src3,
+                                  target_offset=0)
+        mx = lambda v: jax.lax.pmax(jnp.max(v), "dp")
+        av = lambda v: jax.lax.pmean(jnp.mean(v.astype(jnp.float32)),
+                                     "dp")
+        return (av(st_.n_sph), mx(st_.n_sph), av(st_.n_p2p),
+                mx(st_.n_p2p), av(st_.n_m2p), mx(st_.n_m2p))
+
+    out = jax.jit(shard_map(stats, mesh=mesh, in_specs=P("dp"),
+                            out_specs=P(), check_vma=False))(hal)
+    print("halo-layout occupancy (unbounded): "
+          f"sph {float(out[0]):.0f}/{int(out[1])} "
+          f"p2p {float(out[2]):.0f}/{int(out[3])} "
+          f"m2p {float(out[4]):.0f}/{int(out[5])}", flush=True)
     for seg in range(8):
         rep, rinfo = jax.block_until_ready(rrun(rep, 8))
         hal, hinfo = jax.block_until_ready(hrun(hal, 8))
