@@ -90,7 +90,10 @@ def build_cfg(n):
         sph_refine_subblock=True, sph_refined_window=0,
         rebuild_every=8, sort_every=16, respa_every=4,
         multipole_order=2, theta=1.0, grav_com_correction=True,
-        # sized ~1.5x the settled 16k ball's MEASURED single-chip
+        # sized ~2.4x the settled 16k ball measured single-chip maxima (the
+        # first 32k leg-1 attempt at 512/320/320 dropped (105,388) entries
+        # on the REPLICATED side too — dp per-shard groupings pad beyond
+        # the single-chip maxima, the round-4 bisect note at scale):
         # occupancy (settle_ball.py unbounded-window probe: sph avg/max
         # 124/326, p2p 71/204, m2p 79/199 in sub=16 rows) — margin for
         # Verlet skins, per-shard box quantization and the merger
@@ -99,7 +102,7 @@ def build_cfg(n):
         # 1-device "mesh" duplicating ring sources — see the CPU-forcing
         # note above — not real demand.) halo_debug.py prints the REAL
         # halo-layout stats; leg overflow stays loudly counted.
-        nbr_window=512, p2p_window=320, m2p_window=320,
+        nbr_window=768, p2p_window=512, m2p_window=512,
         av_alpha=1.0, av_beta=2.0,
         # ring radius 3 of 8 shards: each 4-shard ball's own bricks meet
         # at its core (max intra-ball shard distance 3), so 3 is the

@@ -41,9 +41,22 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--out", default="docs/results/rotating_l_100k.json")
+    ap.add_argument("--widen", type=float, default=1.0,
+                    help="interaction-window widen factor: the spinning "
+                         "body stretches occupancy beyond the "
+                         "non-rotating preset capacities (measured "
+                         "~1.3k dropped tree entries per 500 steps at "
+                         "omega=0.01 with x1)")
     args = ap.parse_args()
 
     state, cfg, _ = checkpoint.load(args.ck)
+    if args.widen != 1.0:
+        r16 = lambda v: -(-int(v * args.widen) // 16) * 16
+        cfg = cfg.replace(nbr_window=r16(cfg.nbr_window),
+                          p2p_window=r16(cfg.p2p_window),
+                          m2p_window=r16(cfg.m2p_window),
+                          sph_refined_window=r16(cfg.sph_refined_window)
+                          if cfg.sph_refined_window else 0)
     m = state.mass
     com = jnp.sum(m[:, None] * state.pos, axis=0) / jnp.sum(m)
     r = state.pos - com
