@@ -332,6 +332,9 @@ VARIANTS = {
                      block_chunk=256),
     "r5mgw72": dict(p2p_window=112, fuse_p2p_residual=True,
                     sph_refined_window=72),
+    # gb under the MERGE: the bigger two-launch step changes the
+    # batching trade the unmerged gb=2 row rejected
+    "r5mggb2": dict(p2p_window=112, fuse_p2p_residual=True, kernel_gb=2),
 }
 
 
