@@ -17,7 +17,12 @@ over ICI"):
    unified block pipeline the single-chip path runs (``structure.build`` /
    ``structure.forces`` with ``src=`` and ``target_offset=0``) — SPH
    adjacency, near-field P2P, ring M2P and the in-range far field all come
-   from the near universe. Bytes moved: 2R·N/D per shard instead of N.
+   from the near universe. Bytes moved: 2R·N/D per shard instead of N —
+   a LARGE-mesh win (7.5x under replicated at D=64, R=3). At D=8 with
+   R=3 the ring moves the same bytes as replicated (measured table in
+   RESULTS "Halo traffic, honestly"), so small-mesh mergers should use
+   the replicated layout; this module's value there is the violation
+   accounting + re-shard machinery, exercised by tools/halo_collision.py.
 3. **Far field = chunked multipole moments.** Every shard reduces its
    local particles (Morton-contiguous, hence spatially tight) into
    ``halo_chunk``-particle monopole chunks (mass, CM, AABB, bmax, max h —
