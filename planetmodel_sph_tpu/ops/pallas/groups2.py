@@ -50,10 +50,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import fallback
 from .pairwise import _on_tpu
 
 _SCL = pl.BlockSpec(memory_space=pltpu.SMEM)
 _INV_PI = 1.0 / 3.14159265358979323846
+
+
+def _use_jnp() -> bool:
+    """Off-TPU, dispatch the windowed sweeps to the pure-jnp fallbacks
+    (ops/pallas/fallback.py): pallas interpret mode emulates the grid
+    tile-by-tile and measured ~50-100x slower than the equivalent fused
+    broadcast contraction on XLA:CPU. Set PSPH_FORCE_INTERPRET=1 to pin
+    the interpret path (fallback-vs-interpret debugging)."""
+    import os
+    if os.environ.get("PSPH_FORCE_INTERPRET") == "1":
+        return False
+    return not _on_tpu()
 
 
 def _call(kernel, *, out_dtypes, smem, tgt_cols, src_rows, b, chunk,
@@ -237,6 +250,8 @@ def _pass1_gradh_kernel(nv_ref, tx, ty, tz, tih, sx, sy, sz, sm,
 def pass1_gradh(nv, tgt, src, *, b, chunk, gb=1):
     """Grad-h density sweep: tgt = (x,y,z,ih) cols, src = (x,y,z,m) rows.
     Returns (rho, nn, xi) [G*B,1] columns; nn INCLUDES the self pair."""
+    if _use_jnp():
+        return fallback.pass1_gradh(nv, tgt, src)
     single = src[0].shape[1] == chunk
     kern = functools.partial(_pass1_gradh_kernel, chunk=chunk, gb=gb, b=b,
                              single=single)
@@ -309,6 +324,8 @@ def _pass1_sym_kernel(nv_ref, tx, ty, tz, tih, sx, sy, sz, sih, sm,
 def pass1_sym(nv, tgt, src, *, b, chunk, gb=1):
     """Symmetric-density sweep: tgt = (x,y,z,ih), src = (x,y,z,ih,m).
     rho_i = sum m_j 0.5(W(h_i)+W(h_j)); nn INCLUDES the self pair."""
+    if _use_jnp():
+        return fallback.pass1_sym(nv, tgt, src)
     single = src[0].shape[1] == chunk
     kern = functools.partial(_pass1_sym_kernel, chunk=chunk, gb=gb, b=b,
                              single=single)
@@ -369,6 +386,8 @@ def filter_sph(nv, tgt, src, *, b, chunk, gb=1):
     x, y, z, kappa_eff*h, skin, m. Returns f32 [G, S] (1.0 = some target
     interacts). One light sweep (~10 flops/slot) at REBUILD time buys the
     per-step heavy sweeps a ~5x smaller exact candidate window."""
+    if _use_jnp():
+        return fallback.filter_sph(nv, tgt, src)
     s = src[0].shape[1]
     g_total = tgt[0].shape[0] // b
     ng = -(-g_total // gb)
@@ -657,6 +676,12 @@ def pass2(nv, tgt, src, *, b, chunk, mode, av, sign_bug, av_alpha=0.0,
     merge (SimConfig.fuse_p2p_residual). The separate :func:`p2p` launch
     then disappears from the per-step path entirely.
     """
+    if _use_jnp():
+        return fallback.pass2(
+            nv, tgt, src, mode=mode, av=av, energy=energy,
+            balsara=balsara, sign_bug=sign_bug, av_alpha=av_alpha,
+            av_beta=av_beta, grav=grav, receiver_soft=receiver_soft,
+            g_const=g_const, nv_p2p=nv_p2p, p2p_rows=p2p_rows)
     single = src[0].shape[1] == chunk
     merged = p2p_rows is not None
     if merged and not grav:
@@ -778,6 +803,9 @@ def p2p(nv, tgt, src, *, b, chunk, receiver_soft, g_const, bf16=False,
     phi INCLUDES the self term -2.4 m_i / a_i and n_direct INCLUDES the
     self pair — callers correct both analytically.
     """
+    if _use_jnp() and not bf16:
+        return fallback.p2p(nv, tgt, src, receiver_soft=receiver_soft,
+                            g_const=g_const)
     kern = functools.partial(_p2p_kernel, chunk=chunk,
                              receiver_soft=receiver_soft, g_const=g_const,
                              bf16=bf16, gb=gb, b=b)
@@ -953,6 +981,11 @@ def gravity_fused(nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows,
     windows of the supergroup partition (same layout as ring_rows).
     Returns (phi, gx, gy, gz, n_direct, n_approx); the p2p self term is
     INCLUDED (see :func:`p2p`)."""
+    if _use_jnp() and not bf16:
+        return fallback.gravity_fused(
+            nv_p2p, nv_ring, tgt, p2p_rows, ring_rows, far_rows, accept,
+            receiver_soft=receiver_soft, g_const=g_const, nv_blk=nv_blk,
+            blk_rows=blk_rows, has_p2p=has_p2p)
     has_blk = blk_rows is not None
     nm = len(ring_rows)
     sr = ring_rows[0].shape[1]
