@@ -407,11 +407,19 @@ def run_resharded(state, cfg: SimConfig, mesh: Mesh, n_steps: int,
     done = 0
     reshards = 0
     fresh_shard = False       # True right after a re-shard
+    # Hysteresis for the persistent-stray regime (measured in the 8k/32k
+    # collision validations): Morton strays no D-ring can cover produce a
+    # CONSTANT per-segment violation count that a re-shard cannot clear —
+    # without a baseline, every segment would re-shard + retry and run
+    # twice. After an accepted segment with persistent violations, only
+    # re-shard again when violations exceed 2x that accepted level (real
+    # migration, e.g. the merger compressing bricks together).
+    accepted_viol = 0
     while done < n_steps:
         k = min(span, n_steps - done)
         out, info = runner(state, k)
         viol = int(info["halo_violations"])
-        if viol > 0 and not fresh_shard:
+        if viol > max(2 * accepted_viol, 0) and not fresh_shard:
             reshards += 1
             if log:
                 log(f"step {done}: {viol} halo violations -> re-shard "
@@ -419,10 +427,13 @@ def run_resharded(state, cfg: SimConfig, mesh: Mesh, n_steps: int,
             state = morton_shard_state(jax.device_get(state), mesh)
             fresh_shard = True
             continue
-        if viol > 0 and log:
-            log(f"step {done}: {viol} violations persist after re-shard "
-                f"(ring radius {cfg.halo_ring_radius} too small for the "
-                f"geometry) — accepted and counted")
+        if viol > 0:
+            if fresh_shard and log:
+                log(f"step {done}: {viol} violations persist after "
+                    f"re-shard (ring radius {cfg.halo_ring_radius} too "
+                    f"small for the geometry) — accepted and counted; "
+                    f"re-shard hysteresis baseline set")
+            accepted_viol = max(accepted_viol, viol)
         fresh_shard = False
         state = out
         for k2 in total:
